@@ -1,0 +1,102 @@
+"""Central raw-signal window selection.
+
+Re-implements the reference rule (extract_features.py:154-190) on top of a
+flat signal array + per-base offsets instead of a list of per-base slices:
+
+- total signal < target  -> right-pad zeros
+- middle base alone >= target -> *random sorted subsample of the middle-base
+  signals* (nondeterministic in the reference; we use a seeded RNG by default,
+  see FeatureConfig.central_sample_seed)
+- otherwise: take floor((target - mid_len)/2) points left of the middle base
+  and the rest to the right, clamping at the window borders.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Optional
+
+import numpy as np
+
+
+def get_central_signals(signals_list: list, rawsignal_num: int = 360,
+                        rng: Optional[random.Random] = None) -> np.ndarray:
+    """Reference-shaped API: list of per-base signal arrays -> [rawsignal_num]
+    float64 window (extract_features.py:154-190)."""
+    signal_lens = [len(x) for x in signals_list]
+
+    if sum(signal_lens) < rawsignal_num:
+        real_signals = np.concatenate(signals_list)
+        return np.append(real_signals,
+                         np.array([0] * (rawsignal_num - len(real_signals))))
+
+    mid_loc = int((len(signals_list) - 1) / 2)
+    mid_base_len = len(signals_list[mid_loc])
+
+    if mid_base_len >= rawsignal_num:
+        allcentsignals = signals_list[mid_loc]
+        sampler = rng if rng is not None else random
+        picks = sorted(sampler.sample(range(len(allcentsignals)), rawsignal_num))
+        return np.asarray([allcentsignals[x] for x in picks])
+
+    left_len = (rawsignal_num - mid_base_len) // 2
+    right_len = rawsignal_num - left_len
+
+    left_signals = np.concatenate(signals_list[:mid_loc])
+    right_signals = np.concatenate(signals_list[mid_loc:])
+
+    if left_len > len(left_signals):
+        right_len = right_len + left_len - len(left_signals)
+        left_len = len(left_signals)
+    elif right_len > len(right_signals):
+        left_len = left_len + right_len - len(right_signals)
+        right_len = len(right_signals)
+
+    assert right_len + left_len == rawsignal_num
+    if left_len == 0:
+        return right_signals[:right_len]
+    return np.append(left_signals[-left_len:], right_signals[:right_len])
+
+
+def central_signals_flat(norm_signals: np.ndarray, seg_starts: np.ndarray,
+                         seg_lens: np.ndarray, rawsignal_num: int = 360,
+                         rng: Optional[random.Random] = None) -> np.ndarray:
+    """Same rule on a flat window: ``seg_starts``/``seg_lens`` describe the
+    k per-base segments of one site window within ``norm_signals`` (segments
+    are contiguous in tombo events, so the window is a single flat span).
+
+    Faster path used by the vectorized extractor; falls back to the exact
+    list-based rule only in the rare oversized-middle-base case.
+    """
+    k = len(seg_starts)
+    mid = (k - 1) // 2
+    win_start = int(seg_starts[0])
+    win_end = int(seg_starts[-1] + seg_lens[-1])
+    total = win_end - win_start
+
+    if total < rawsignal_num:
+        out = np.zeros(rawsignal_num, dtype=np.float64)
+        out[:total] = norm_signals[win_start:win_end]
+        return out
+
+    mid_start = int(seg_starts[mid])
+    mid_len = int(seg_lens[mid])
+    if mid_len >= rawsignal_num:
+        sampler = rng if rng is not None else random
+        picks = sorted(sampler.sample(range(mid_len), rawsignal_num))
+        return norm_signals[mid_start + np.asarray(picks, dtype=np.int64)]
+
+    left_len = (rawsignal_num - mid_len) // 2
+    right_len = rawsignal_num - left_len
+    n_left = mid_start - win_start            # signals left of the middle base
+    n_right = win_end - mid_start             # middle base + right signals
+
+    if left_len > n_left:
+        right_len = right_len + left_len - n_left
+        left_len = n_left
+    elif right_len > n_right:
+        left_len = left_len + right_len - n_right
+        right_len = n_right
+
+    return norm_signals[mid_start - left_len: mid_start + right_len].astype(
+        np.float64, copy=False)

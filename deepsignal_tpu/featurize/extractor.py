@@ -1,0 +1,180 @@
+"""Per-read feature extraction: resquiggled read -> per-motif-site features.
+
+Vectorized re-design of ``_extract_features`` (extract_features.py:215-286):
+instead of Python loops over sites building per-base lists, we compute
+per-event stats for the whole read once (prefix sums) and gather k-mer
+windows with numpy fancy indexing.  Output values match the reference
+contract exactly (coordinate math at extract_features.py:254-261; feature
+row format at extract_features.py:289-303).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+from typing import Optional
+
+import numpy as np
+
+from ..core.config import FeatureConfig
+from ..core.constants import KEY_SEP, decode_seq, encode_seq, motif_sites_in_seq
+from ..io.fast5 import ResquiggledRead, read_resquiggled_fast5
+from ..io.feature_codec import format_feature_row
+from .central import central_signals_flat
+from .signal import normalize_signals, rescale_signals, segment_stats
+
+
+@dataclasses.dataclass
+class ReadFeatures:
+    """Struct-of-arrays features for all motif sites of one read."""
+
+    chrom: str
+    align_strand: str
+    readname: str
+    read_strand: str
+    pos: np.ndarray            # [S] genome coordinate (fwd strand, 0-based)
+    pos_in_strand: np.ndarray  # [S] legacy strand coordinate (-1 if no ref)
+    kmers: np.ndarray          # [S, K] int codes
+    means: np.ndarray          # [S, K] float64
+    stds: np.ndarray           # [S, K] float64
+    lens: np.ndarray           # [S, K] int64
+    cent_signals: np.ndarray   # [S, cent_len] float64
+    methy_label: int
+
+    def __len__(self) -> int:
+        return self.pos.shape[0]
+
+    def to_tsv_rows(self) -> list:
+        """Serialize with the exact reference row format
+        (extract_features.py:289-303)."""
+        rows = []
+        for i in range(len(self)):
+            rows.append(format_feature_row(
+                self.chrom, int(self.pos[i]), self.align_strand,
+                int(self.pos_in_strand[i]), self.readname, self.read_strand,
+                decode_seq(self.kmers[i]), self.means[i], self.stds[i],
+                self.lens[i], self.cent_signals[i], self.methy_label))
+        return rows
+
+
+def extract_read_features(read: ResquiggledRead, motif_seqs: list,
+                          cfg: FeatureConfig,
+                          chrom2len: Optional[dict] = None,
+                          positions: Optional[set] = None,
+                          rng: Optional[random.Random] = None,
+                          ) -> Optional[ReadFeatures]:
+    """Featurize one read.  Returns None when no sites pass the filters.
+
+    Pipeline (extract_features.py:224-280): rescale to pA -> normalize whole
+    read -> per-event stats -> motif scan -> per-site window gather.
+    """
+    kmer_len = cfg.kmer_len
+    num_bases = (kmer_len - 1) // 2
+
+    norm = normalize_signals(
+        rescale_signals(read.raw_signal, read.scaling, read.offset),
+        cfg.normalize_method)
+
+    starts = read.event_starts
+    lengths = read.event_lengths
+    n_events = starts.shape[0]
+
+    ev_means, ev_stds = segment_stats(norm, starts, lengths)
+
+    seq_codes = encode_seq(read.seq, cfg.is_dna)
+    tsite_locs = motif_sites_in_seq(seq_codes, motif_seqs, cfg.mod_loc,
+                                    cfg.is_dna)
+    # keep sites with a full k-mer window (extract_features.py:255)
+    tsite_locs = tsite_locs[(tsite_locs >= num_bases)
+                            & (tsite_locs < n_events - num_bases)]
+    if tsite_locs.size == 0:
+        return None
+
+    # genome coordinates (extract_features.py:256-261)
+    chromlen = None
+    if chrom2len is not None:
+        chromlen = chrom2len.get(read.chrom)
+        if chromlen is None:
+            print("warning - chrom_name in fast5 not in provided reference genome!")
+    if read.align_strand == "-":
+        pos = read.chrom_start + n_events - 1 - tsite_locs
+    else:
+        pos = read.chrom_start + tsite_locs
+    if chromlen is not None:
+        pos_in_strand = (chromlen - 1 - pos) if read.align_strand == "-" else pos
+    else:
+        pos_in_strand = np.full_like(pos, -1)
+
+    if positions is not None:
+        keep = np.fromiter(
+            (KEY_SEP.join([read.chrom, str(int(p)), read.align_strand])
+             in positions for p in pos),
+            dtype=bool, count=pos.shape[0])
+        tsite_locs, pos, pos_in_strand = (tsite_locs[keep], pos[keep],
+                                          pos_in_strand[keep])
+        if tsite_locs.size == 0:
+            return None
+
+    # window gather: [S, K] index matrix over events
+    win = tsite_locs[:, None] + np.arange(-num_bases, num_bases + 1)[None, :]
+    kmers = seq_codes[win]
+    means = ev_means[win]
+    stds = ev_stds[win]
+    lens = lengths[win]
+
+    cent = np.empty((tsite_locs.shape[0], cfg.cent_signals_len),
+                    dtype=np.float64)
+    for i, loc in enumerate(tsite_locs):
+        w = win[i]
+        cent[i] = central_signals_flat(norm, starts[w], lengths[w],
+                                       cfg.cent_signals_len, rng)
+
+    return ReadFeatures(
+        chrom=read.chrom, align_strand=read.align_strand,
+        readname=read.read_id, read_strand=read.read_strand,
+        pos=pos, pos_in_strand=pos_in_strand, kmers=kmers, means=means,
+        stds=stds, lens=lens, cent_signals=cent, methy_label=cfg.methy_label)
+
+
+def extract_fast5_batch(fast5_paths: list, motif_seqs: list,
+                        cfg: FeatureConfig,
+                        chrom2len: Optional[dict] = None,
+                        positions: Optional[set] = None,
+                        rng: Optional[random.Random] = None):
+    """Featurize a batch of fast5 files with per-file fault isolation
+    (extract_features.py:224-283: failures counted, extraction continues).
+
+    Returns (list[ReadFeatures], error_count).  A file whose corrected
+    Alignment group is missing counts as an error, matching the reference's
+    blanket-except behavior on the empty alignment tuple.
+    """
+    if rng is None and cfg.central_sample_seed is not None:
+        rng = random.Random(cfg.central_sample_seed)
+    out = []
+    errors = 0
+    for path in fast5_paths:
+        try:
+            read = read_resquiggled_fast5(path, cfg.corrected_group,
+                                          cfg.basecall_subgroup)
+            if read is None:
+                errors += 1
+                continue
+            feats = extract_read_features(read, motif_seqs, cfg, chrom2len,
+                                          positions, rng)
+            if feats is not None:
+                out.append(feats)
+        except Exception:
+            errors += 1
+            continue
+    return out, errors
+
+
+def read_position_file(position_file: str) -> set:
+    """Positions filter file: TSV chrom, fwd-pos, strand
+    (extract_features.py:388-394)."""
+    positions = set()
+    with open(position_file, "r") as rf:
+        for line in rf:
+            words = line.strip().split("\t")
+            positions.add(KEY_SEP.join(words[:3]))
+    return positions

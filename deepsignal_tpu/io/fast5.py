@@ -1,0 +1,165 @@
+"""Single-read fast5 access (tombo-resquiggled layout).
+
+Layout contract (SURVEY.md §2.5; extract_features.py:27,35-140,193-208):
+
+- ``Raw/Reads/Read_<n>/Signal``: raw DAC values; attr ``read_id``
+- ``Analyses/<corrected_group>/<basecall_subgroup>/Events``: fields ``start``,
+  ``length``, ``base``; attr ``read_start_rel_to_raw``
+- ``Analyses/<corrected_group>/<basecall_subgroup>/Alignment``: attrs
+  ``mapped_strand``, ``mapped_chrom``, ``mapped_start``
+- ``UniqueGlobalKey/channel_id``: attrs ``digitisation``, ``range``, ``offset``
+
+All HDF5 attrs are decoded defensively (bytes vs str across h5py versions,
+extract_features.py:84-102).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import fnmatch
+import os
+from typing import Optional
+
+import h5py
+import numpy as np
+
+READS_GROUP = "Raw/Reads"
+
+
+def _decode_attr(value) -> str:
+    """bytes/str defensive decode (extract_features.py:84-102)."""
+    if isinstance(value, bytes):
+        return value.decode("utf-8")
+    return str(value)
+
+
+@dataclasses.dataclass
+class ResquiggledRead:
+    """Everything the featurizer needs from one fast5 file."""
+
+    read_id: str
+    raw_signal: np.ndarray       # raw DAC values (int)
+    event_starts: np.ndarray     # absolute start index into raw_signal [n]
+    event_lengths: np.ndarray    # signal points per base [n]
+    seq: str                     # basecalled/aligned sequence, one char/event
+    read_strand: str             # 't' (template) or 'c' (complement)
+    align_strand: str            # '+' or '-'
+    chrom: str
+    chrom_start: int
+    scaling: float               # range / digitisation
+    offset: float
+
+
+def get_fast5s(fast5_dir: str, is_recursive: bool = True) -> list:
+    """Discover *.fast5 files (process_utils.py:146-159)."""
+    fast5_dir = os.path.abspath(fast5_dir)
+    fast5s = []
+    if is_recursive:
+        for root, _dirnames, filenames in os.walk(fast5_dir):
+            for filename in fnmatch.filter(filenames, "*.fast5"):
+                fast5s.append(os.path.join(root, filename))
+    else:
+        for name in os.listdir(fast5_dir):
+            if name.endswith(".fast5"):
+                fast5s.append("/".join([fast5_dir, name]))
+    return fast5s
+
+
+def read_resquiggled_fast5(fast5_path: str,
+                           corrected_group: str = "RawGenomeCorrected_000",
+                           basecall_subgroup: str = "BaseCalled_template",
+                           ) -> Optional[ResquiggledRead]:
+    """Read one tombo-corrected fast5 in a single HDF5 open.
+
+    The reference opens each file three times (_get_label_raw,
+    _get_scaling_of_a_read, _get_alignment_info_from_fast5); this reader does
+    one pass.  Returns None when the corrected Alignment group is missing
+    (extract_features.py:136-137 empty-tuple behavior); raises on structural
+    errors so the caller can count them (extract_features.py:281-283).
+    """
+    with h5py.File(fast5_path, "r") as h5:
+        # raw signal + read id (extract_features.py:41-49, 108-118)
+        try:
+            read_grp = list(h5[READS_GROUP].values())[0]
+            raw_signal = read_grp["Signal"][()]
+        except Exception as e:
+            raise RuntimeError(
+                "Raw data is not stored in Raw/Reads/Read_[read#]") from e
+        read_id = _decode_attr(read_grp.attrs["read_id"])
+
+        strand_path = "/".join(["Analyses", corrected_group, basecall_subgroup])
+        if "/".join([strand_path, "Alignment"]) not in h5:
+            return None
+
+        # events (extract_features.py:51-72)
+        try:
+            events = h5[strand_path + "/Events"]
+        except Exception as e:
+            raise RuntimeError("events not found") from e
+        try:
+            rel = events.attrs["read_start_rel_to_raw"]
+        except KeyError as e:
+            raise KeyError("no read_start_rel_to_raw in event attributes") from e
+        starts = np.asarray(events["start"], dtype=np.int64) + int(rel)
+        lengths = np.asarray(events["length"], dtype=np.int64)
+        bases = events["base"]
+        seq = b"".join(bases.astype("S1").tolist()).decode("utf-8") \
+            if bases.dtype.kind == "S" else "".join(_decode_attr(b) for b in bases)
+
+        # alignment attrs (extract_features.py:75-105)
+        align_attrs = h5[strand_path + "/Alignment"].attrs
+        align_strand = _decode_attr(align_attrs["mapped_strand"])
+        chrom = _decode_attr(align_attrs["mapped_chrom"])
+        chrom_start = int(align_attrs["mapped_start"])
+        read_strand = "t" if strand_path.endswith("template") else "c"
+
+        # channel scaling (extract_features.py:193-208)
+        channel = h5["UniqueGlobalKey/channel_id"].attrs
+        digi = float(channel["digitisation"])
+        parange = float(channel["range"])
+        offset = float(channel["offset"])
+
+    return ResquiggledRead(
+        read_id=read_id, raw_signal=raw_signal, event_starts=starts,
+        event_lengths=lengths, seq=seq, read_strand=read_strand,
+        align_strand=align_strand, chrom=chrom, chrom_start=chrom_start,
+        scaling=parange / digi, offset=offset)
+
+
+def write_synthetic_fast5(path: str, read_id: str, raw_signal: np.ndarray,
+                          event_starts_rel: np.ndarray,
+                          event_lengths: np.ndarray, seq: str,
+                          mapped_chrom: str, mapped_start: int,
+                          mapped_strand: str,
+                          read_start_rel_to_raw: int = 0,
+                          digitisation: float = 8192.0,
+                          prange: float = 1402.882,
+                          offset: float = 6.0,
+                          corrected_group: str = "RawGenomeCorrected_000",
+                          basecall_subgroup: str = "BaseCalled_template") -> None:
+    """Write a minimal tombo-layout fast5 (test fixture; layout per SURVEY.md
+    §2.5).  ``event_starts_rel`` are relative to ``read_start_rel_to_raw``."""
+    with h5py.File(path, "w") as h5:
+        rg = h5.create_group(f"{READS_GROUP}/Read_0")
+        rg.create_dataset("Signal", data=np.asarray(raw_signal, dtype=np.int16))
+        rg.attrs["read_id"] = np.bytes_(read_id.encode())
+
+        eg = h5.create_group(f"Analyses/{corrected_group}/{basecall_subgroup}")
+        n = len(seq)
+        ev = np.empty(n, dtype=[("start", "<i8"), ("length", "<i8"),
+                                ("base", "S1")])
+        ev["start"] = np.asarray(event_starts_rel, dtype=np.int64)
+        ev["length"] = np.asarray(event_lengths, dtype=np.int64)
+        ev["base"] = np.array([s.encode() for s in seq], dtype="S1")
+        events = eg.create_dataset("Events", data=ev)
+        events.attrs["read_start_rel_to_raw"] = np.int64(read_start_rel_to_raw)
+
+        ag = eg.create_group("Alignment")
+        ag.attrs["mapped_strand"] = np.bytes_(mapped_strand.encode())
+        ag.attrs["mapped_chrom"] = np.bytes_(mapped_chrom.encode())
+        ag.attrs["mapped_start"] = np.int64(mapped_start)
+
+        cg = h5.create_group("UniqueGlobalKey/channel_id")
+        cg.attrs["digitisation"] = np.float64(digitisation)
+        cg.attrs["range"] = np.float64(prange)
+        cg.attrs["offset"] = np.float64(offset)
