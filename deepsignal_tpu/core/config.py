@@ -56,6 +56,10 @@ class ModelConfig:
     pos_weight: float = 1.0
     # compute dtype for the TPU fast path; params stay float32.
     compute_dtype: str = "float32"     # "float32" | "bfloat16"
+    # XLA matmul precision: "highest" = true f32 (TF1 parity), "default" =
+    # fastest (bf16-class passes on MXU).  This backend's default is reduced
+    # precision, so parity mode must pin "highest".
+    matmul_precision: str = "highest"  # "highest" | "high" | "default"
 
     def __post_init__(self):
         if not (self.is_cnn or self.is_rnn):

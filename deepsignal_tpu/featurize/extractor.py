@@ -169,6 +169,32 @@ def extract_fast5_batch(fast5_paths: list, motif_seqs: list,
     return out, errors
 
 
+def read_features_to_batch(feats_list: list) -> Optional["FeatureBatch"]:
+    """Pack per-read features into one FeatureBatch for the caller, keeping
+    each read's sites contiguous (the v0.1.10 read-grouping contract,
+    call_modifications.py:100-122)."""
+    from ..io.feature_codec import FeatureBatch
+    if not feats_list:
+        return None
+    sampleinfo = []
+    for f in feats_list:
+        for i in range(len(f)):
+            sampleinfo.append("\t".join([
+                f.chrom, str(int(f.pos[i])), f.align_strand,
+                str(int(f.pos_in_strand[i])), f.readname, f.read_strand]))
+    return FeatureBatch(
+        sampleinfo=sampleinfo,
+        kmers=np.concatenate([f.kmers for f in feats_list]).astype(np.int32),
+        means=np.concatenate([f.means for f in feats_list]).astype(np.float32),
+        stds=np.concatenate([f.stds for f in feats_list]).astype(np.float32),
+        lens=np.concatenate([f.lens for f in feats_list]).astype(np.int32),
+        signals=np.concatenate([f.cent_signals
+                                for f in feats_list]).astype(np.float32),
+        labels=np.asarray([f.methy_label for f in feats_list
+                           for _ in range(len(f))], dtype=np.int32),
+    )
+
+
 def read_position_file(position_file: str) -> set:
     """Positions filter file: TSV chrom, fwd-pos, strand
     (extract_features.py:388-394)."""

@@ -1,0 +1,173 @@
+"""Flax building blocks for the DeepSignal fusion model.
+
+Behavioral contract follows ``deepsignal/layers.py``:
+
+- ``BiLSTMEncoder``    <-> rnn_layers/Event_model (layers.py:20-72,142-173):
+  independent forward/backward 3-layer LSTM stacks, per-layer output dropout
+  (DropoutWrapper output_keep_prob), output = concat(fw[:, -1], bw[:, 0]).
+- ``InceptionBlock``   <-> inception_layer (layers.py:87-139): five branches
+  (maxpool+1x1 / 1x1 / 1x1->1x3 / 1x1->1x5 / residual 1x1-stem + 1x1->1x3->1x1),
+  each ``times*3`` channels, concatenated -> 15*times channels.
+- ``InceptionNet``     <-> incept_net (layers.py:176-239): stem conv7/s2 ->
+  maxpool/s2 -> 1x1(128) -> 1x3(256) -> 3 incept -> maxpool/s2 -> 5 incept ->
+  maxpool/s2 -> 3 incept -> avgpool7/s1 -> flatten.
+- ``JointHead``        <-> Joint_model (layers.py:242-264): FC(same-dim) ->
+  dropout -> FC(class_num) -> dropout (the reference's dropout-after-logits
+  quirk is preserved; it is a no-op at inference).
+
+TPU notes: all convs are 1D over the signal axis ([B, L, C] layout) so XLA
+lowers them to MXU matmuls; BatchNorm momentum 0.9 / eps 1e-3 matches
+tf.contrib batch_norm defaults (layers.py:80-84).  The reference's
+``zero_debias_moving_mean`` only changes moving-stat warm-up, not the
+converged statistics; it is intentionally not replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.bilstm import lstm_layer
+
+
+class TFLSTMLayer(nn.Module):
+    """One unidirectional LSTM layer with TF1-LSTMCell weight layout."""
+
+    hidden: int
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.glorot_uniform(),
+                            (d + self.hidden, 4 * self.hidden))
+        bias = self.param("bias", nn.initializers.zeros, (4 * self.hidden,))
+        return lstm_layer(x, kernel.astype(x.dtype), bias.astype(x.dtype),
+                          reverse=self.reverse)
+
+
+class BiLSTMEncoder(nn.Module):
+    """Stacked bidirectional LSTM encoder (layers.py:20-72, 142-173)."""
+
+    hidden: int = 256
+    num_layers: int = 3
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool, keep_prob: float = 1.0):
+        fw, bw = x, x
+        fw_out = bw_out = None
+        for layer in range(self.num_layers):
+            fw_out = TFLSTMLayer(self.hidden, reverse=False,
+                                 name=f"fw_{layer}")(fw)
+            bw_out = TFLSTMLayer(self.hidden, reverse=True,
+                                 name=f"bw_{layer}")(bw)
+            # DropoutWrapper(output_keep_prob) on every stacked cell
+            # (layers.py:51-54); new mask per timestep == iid elementwise.
+            fw_out = nn.Dropout(rate=1.0 - keep_prob)(
+                fw_out, deterministic=deterministic)
+            bw_out = nn.Dropout(rate=1.0 - keep_prob)(
+                bw_out, deterministic=deterministic)
+            fw, bw = fw_out, bw_out
+        # Event_model extract (layers.py:169-173): last fw step, first bw step
+        return jnp.concatenate([fw_out[:, -1, :], bw_out[:, 0, :]], axis=1)
+
+
+class ConvBNRelu(nn.Module):
+    """conv(no bias) -> BN -> relu, the repeated motif of incept_net."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    use_relu: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        x = nn.Conv(self.features, kernel_size=(self.kernel,),
+                    strides=(self.stride,), padding="SAME", use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-3)(x)
+        return nn.relu(x) if self.use_relu else x
+
+
+def _max_pool_same(x, window: int, stride: int):
+    return nn.max_pool(x, window_shape=(window,), strides=(stride,),
+                       padding="SAME")
+
+
+class InceptionBlock(nn.Module):
+    """Five-branch inception block (layers.py:87-139); out = 15*times ch."""
+
+    times: int = 16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        t = self.times
+        # branch1: maxpool 1x3/s1 -> 1x1(3t)
+        b1 = _max_pool_same(x, 3, 1)
+        b1 = ConvBNRelu(t * 3, 1, name="branch1_conv1a")(b1, train=train)
+        # branch2: 1x1(3t)
+        b2 = ConvBNRelu(t * 3, 1, name="branch2_conv0b")(x, train=train)
+        # branch3: 1x1(2t) -> 1x3(3t)
+        b3 = ConvBNRelu(t * 2, 1, name="branch3_conv0c")(x, train=train)
+        b3 = ConvBNRelu(t * 3, 3, name="branch3_conv1c")(b3, train=train)
+        # branch4: 1x1(2t) -> 1x5(3t)
+        b4 = ConvBNRelu(t * 2, 1, name="branch4_conv0d")(x, train=train)
+        b4 = ConvBNRelu(t * 3, 5, name="branch4_conv1d")(b4, train=train)
+        # branch5: residual — stem 1x1(3t, BN only) + (1x1(2t)->1x3(4t)->1x1(3t, BN only))
+        stem = ConvBNRelu(t * 3, 1, use_relu=False,
+                          name="branch5_convstem")(x, train=train)
+        b5 = ConvBNRelu(t * 2, 1, name="branch5_conv0e")(x, train=train)
+        b5 = ConvBNRelu(t * 4, 3, name="branch5_conv1e")(b5, train=train)
+        b5 = ConvBNRelu(t * 3, 1, use_relu=False,
+                        name="branch5_conv2e")(b5, train=train)
+        b5 = nn.relu(stem + b5)
+        return jnp.concatenate([b1, b2, b3, b4, b5], axis=-1)
+
+
+class InceptionNet(nn.Module):
+    """Signal-branch CNN (layers.py:176-239).  Input [B, signal_len, 1]."""
+
+    times: int = 16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        x = ConvBNRelu(64, 7, stride=2, name="conv_layer1")(x, train=train)
+        x = _max_pool_same(x, 3, 2)
+        x = ConvBNRelu(128, 1, name="conv_layer2")(x, train=train)
+        x = ConvBNRelu(256, 3, name="conv_layer3")(x, train=train)
+        for i in range(1, 4):
+            x = InceptionBlock(self.times, name=f"incp_layer{i}")(x, train=train)
+        x = _max_pool_same(x, 3, 2)
+        for i in range(4, 9):
+            x = InceptionBlock(self.times, name=f"incp_layer{i}")(x, train=train)
+        x = _max_pool_same(x, 3, 2)
+        for i in range(9, 12):
+            x = InceptionBlock(self.times, name=f"incp_layer{i}")(x, train=train)
+        # avg pool 1x7 stride 1 SAME; TF average_pooling2d excludes padding
+        # from the denominator -> count_include_pad=False
+        x = nn.avg_pool(x, window_shape=(7,), strides=(1,), padding="SAME",
+                        count_include_pad=False)
+        return x.reshape(x.shape[0], -1)
+
+
+class JointHead(nn.Module):
+    """Joint FC head (layers.py:242-264), incl. dropout-after-logits quirk."""
+
+    class_num: int = 2
+
+    @nn.compact
+    def __call__(self, event_out: Optional[jnp.ndarray],
+                 signal_out: Optional[jnp.ndarray], *,
+                 deterministic: bool, keep_prob: float = 1.0):
+        if signal_out is not None and event_out is not None:
+            joint = jnp.concatenate([event_out, signal_out], axis=1)
+        elif signal_out is not None:
+            joint = signal_out
+        else:
+            joint = event_out
+        fc1 = nn.Dense(joint.shape[1], use_bias=False, name="fc1")(joint)
+        drop1 = nn.Dropout(rate=1.0 - keep_prob)(fc1, deterministic=deterministic)
+        fc2 = nn.Dense(self.class_num, use_bias=False, name="fc2")(drop1)
+        return nn.Dropout(rate=1.0 - keep_prob)(fc2, deterministic=deterministic)

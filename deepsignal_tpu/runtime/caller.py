@@ -1,0 +1,127 @@
+"""Modification-calling engine: batched jit inference over a device mesh.
+
+TPU re-design of ``_call_mods`` / ``_call_mods_q``
+(call_modifications.py:149-236).  The reference runs one TF session per CPU
+process and feeds python lists through feed_dict per 512-batch; here a single
+jitted function is compiled once per fixed [batch_size, ...] shape, params
+live on device, and batches are padded to the fixed shape (mask by valid
+count) so XLA never recompiles.  On a mesh the batch is sharded along the
+data axis and params are replicated (SURVEY.md §2.3 TPU-native equivalents).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import ModelConfig
+from ..core.constants import CODE2BASE_DNA
+from ..io.calls_codec import format_call_row
+from ..io.feature_codec import FeatureBatch
+from ..models.deepsignal import DeepSignalNet, normalized_probs, predictions
+from ..parallel.mesh import batch_sharding, replicated
+
+
+class ModCaller:
+    """Owns the jitted inference step + fixed-shape batching."""
+
+    def __init__(self, cfg: ModelConfig, variables, batch_size: int = 512,
+                 mesh=None):
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.model = DeepSignalNet(cfg)
+
+        def _infer(variables, kmer, means, stds, sanums, signals):
+            logits = self.model.apply(variables, kmer, means, stds, sanums,
+                                      signals, train=False)
+            p0, p1 = normalized_probs(logits)
+            # inference model is built with default pos_weight=1.0
+            # (call_modifications.py:203-205) -> argmax rule
+            pred = predictions(logits, 1.0)
+            return p0, p1, pred
+
+        if mesh is not None:
+            data = batch_sharding(mesh)
+            repl = replicated(mesh)
+            self._infer = jax.jit(
+                _infer,
+                in_shardings=(repl, data, data, data, data, data),
+                out_shardings=(data, data, data))
+            self.variables = jax.device_put(variables, repl)
+        else:
+            self._infer = jax.jit(_infer)
+            self.variables = jax.device_put(variables)
+
+    def _run_fixed(self, kmer, means, stds, sanums, signals):
+        return self._infer(self.variables, kmer, means, stds, sanums, signals)
+
+    def call_feature_batch(self, fb: FeatureBatch):
+        """Score a FeatureBatch; returns (pred_rows, predictions, probs).
+
+        Rows follow the exact 10-column output contract
+        (call_modifications.py:184-190), in input order (the read-grouping
+        contract holds because input batches are read-grouped).
+        """
+        n = len(fb)
+        bs = self.batch_size
+        rows: list = []
+        all_pred = np.empty(n, dtype=np.int64)
+        all_p0 = np.empty(n, dtype=np.float32)
+        all_p1 = np.empty(n, dtype=np.float32)
+        for i in range(0, n, bs):
+            j = min(i + bs, n)
+            valid = j - i
+            kmer = _pad(fb.kmers[i:j], bs)
+            means = _pad(fb.means[i:j], bs)
+            stds = _pad(fb.stds[i:j], bs)
+            sanums = _pad(fb.lens[i:j].astype(np.float32), bs)
+            signals = _pad(fb.signals[i:j], bs)
+            p0, p1, pred = self._run_fixed(kmer, means, stds, sanums, signals)
+            p0 = np.asarray(p0)[:valid]
+            p1 = np.asarray(p1)[:valid]
+            pred = np.asarray(pred)[:valid]
+            all_p0[i:j], all_p1[i:j], all_pred[i:j] = p0, p1, pred
+            for idx in range(valid):
+                kmer_str = "".join(CODE2BASE_DNA[int(c)]
+                                   for c in fb.kmers[i + idx])
+                rows.append(format_call_row(fb.sampleinfo[i + idx],
+                                            p0[idx], p1[idx],
+                                            int(pred[idx]), kmer_str))
+        return rows, all_pred, (all_p0, all_p1)
+
+
+def _pad(arr: np.ndarray, batch_size: int) -> np.ndarray:
+    """Pad the leading axis to the fixed batch size (repeat last row so the
+    padded lanes stay numerically benign; they are discarded by valid count)."""
+    n = arr.shape[0]
+    if n == batch_size:
+        return arr
+    reps = np.repeat(arr[-1:], batch_size - n, axis=0)
+    return np.concatenate([arr, reps], axis=0)
+
+
+def call_mods_on_batches(caller: ModCaller,
+                         batches: Iterable[FeatureBatch],
+                         out_path: str,
+                         flush_every: int = 1) -> int:
+    """Serial driver: stream read-grouped FeatureBatches -> call TSV.
+
+    Equivalent of the reference's reader->TF->writer process pipeline
+    (call_modifications.py:450-491) collapsed to one process; the streaming
+    multiprocess front-end lives in runtime.pipeline.
+    """
+    count = 0
+    with open(out_path, "w") as wf:
+        for bi, fb in enumerate(batches):
+            rows, _, _ = caller.call_feature_batch(fb)
+            for r in rows:
+                wf.write(r + "\n")
+            count += len(rows)
+            if (bi + 1) % flush_every == 0:
+                wf.flush()
+    return count

@@ -1,0 +1,310 @@
+"""Sharded training loop.
+
+Re-design of ``deepsignal/train_model.py:24-285`` for TPU:
+
+- one jitted ``train_step`` (Adam, weighted CE, dropout, BN stat updates)
+  compiled for a fixed [batch_size, ...] shape; partial tail batches are
+  padded and masked instead of reshaping
+- on a device mesh the batch is sharded along the data axis with params
+  replicated — XLA inserts the psum gradient reduction (the reference trains
+  strictly single-device, train_model.py:112)
+- reference semantics preserved: LR schedule = lr for epochs 0-1 else
+  lr*decay_rate (train_model.py:123-126); every ``display_step`` iterations a
+  full validation sweep + train.txt/valid.txt log lines in the reference's
+  parseable format (train_model.py:186-189,233-236); checkpoint on new
+  global-best validation accuracy (train_model.py:239-243); early stop when
+  an epoch fails to improve and epoch_id >= min_epoch_num-1
+  (train_model.py:270-284).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.config import ModelConfig, TrainConfig
+from ..models.deepsignal import (DeepSignalNet, init_model, predictions,
+                                 weighted_ce_with_logits)
+from ..parallel.mesh import batch_sharding, replicated
+from .checkpoints import ckpt_name, clean_model_dir, save_checkpoint
+from .data import open_dataset
+from .metrics import batch_metrics
+
+TRAIN_LOG = "train.txt"
+VALID_LOG = "valid.txt"
+
+
+def masked_mean_loss(logits, labels, valid_mask, class_num: int,
+                     pos_weight: float):
+    """Reference cost (model.py:105-118) with padded-lane masking.
+
+    pos_weight == 1: elementwise weighted CE over the one-hot [B, C] grid,
+    mean over valid elements.  Otherwise the scalar class-1-logit form."""
+    if pos_weight == 1.0:
+        one_hot = jax.nn.one_hot(labels, class_num, dtype=logits.dtype)
+        loss = weighted_ce_with_logits(logits, one_hot, pos_weight)
+        w = valid_mask[:, None].astype(loss.dtype)
+        return jnp.sum(loss * w) / (jnp.sum(w) * class_num)
+    loss = weighted_ce_with_logits(logits[:, 1], labels.astype(logits.dtype),
+                                   pos_weight)
+    w = valid_mask.astype(loss.dtype)
+    return jnp.sum(loss * w) / jnp.sum(w)
+
+
+class Trainer:
+    """Owns model variables, optimizer state and the jitted steps."""
+
+    def __init__(self, model_cfg: ModelConfig, train_cfg: TrainConfig,
+                 mesh=None, rng: Optional[jax.Array] = None):
+        self.mcfg = model_cfg
+        self.tcfg = train_cfg
+        self.mesh = mesh
+        self.model = DeepSignalNet(model_cfg)
+        rng = rng if rng is not None else jax.random.PRNGKey(train_cfg.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        _, variables = init_model(model_cfg, init_rng,
+                                 batch_size=train_cfg.batch_size)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=train_cfg.learning_rate)
+        self.opt_state = self.tx.init(self.params)
+        self._step_counter = 0
+
+        mcfg = model_cfg
+        tcfg = train_cfg
+        model = self.model
+        tx = self.tx
+
+        def train_step(params, batch_stats, opt_state, batch, valid_mask,
+                       dropout_rng, lr):
+            opt_state.hyperparams["learning_rate"] = lr
+
+            def loss_fn(p):
+                logits, new_vars = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    batch["kmer"], batch["means"], batch["stds"],
+                    batch["sanums"], batch["signals"], train=True,
+                    keep_prob=tcfg.keep_prob, mutable=["batch_stats"],
+                    rngs={"dropout": dropout_rng})
+                loss = masked_mean_loss(logits, batch["labels"], valid_mask,
+                                        mcfg.class_num, tcfg.pos_weight)
+                return loss, (logits, new_vars["batch_stats"])
+
+            (loss, (logits, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            preds = predictions(logits, tcfg.pos_weight)
+            return params, new_bs, opt_state, loss, preds
+
+        def eval_step(params, batch_stats, batch, valid_mask):
+            logits = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["kmer"], batch["means"], batch["stds"],
+                batch["sanums"], batch["signals"], train=False)
+            loss = masked_mean_loss(logits, batch["labels"], valid_mask,
+                                    mcfg.class_num, tcfg.pos_weight)
+            probs1 = jax.nn.sigmoid(logits[:, 1])
+            return loss, predictions(logits, tcfg.pos_weight), probs1
+
+        if mesh is not None:
+            data = batch_sharding(mesh)
+            repl = replicated(mesh)
+            batch_shard = {k: data for k in ("kmer", "means", "stds",
+                                             "sanums", "signals", "labels")}
+            self._train_step = jax.jit(
+                train_step,
+                in_shardings=(repl, repl, repl, batch_shard, data, repl, repl),
+                out_shardings=(repl, repl, repl, repl, data),
+                donate_argnums=(0, 1, 2))
+            self._eval_step = jax.jit(
+                eval_step,
+                in_shardings=(repl, repl, batch_shard, data),
+                out_shardings=(repl, data, data))
+            self.params = jax.device_put(self.params, repl)
+            self.batch_stats = jax.device_put(self.batch_stats, repl)
+            self.opt_state = jax.device_put(self.opt_state, repl)
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+            self._eval_step = jax.jit(eval_step)
+
+    # -- step wrappers ------------------------------------------------------
+
+    def _device_batch(self, batch):
+        valid = batch.pop("__valid__") if "__valid__" in batch else \
+            batch["labels"].shape[0]
+        mask = np.zeros(batch["labels"].shape[0], dtype=np.float32)
+        mask[:valid] = 1.0
+        return batch, mask, valid
+
+    def train_on_batch(self, batch, lr: float):
+        batch, mask, valid = self._device_batch(dict(batch))
+        self.rng, drop = jax.random.split(self.rng)
+        (self.params, self.batch_stats, self.opt_state, loss,
+         preds) = self._train_step(self.params, self.batch_stats,
+                                   self.opt_state, batch, mask, drop,
+                                   jnp.float32(lr))
+        return float(loss), np.asarray(preds)[:valid], valid
+
+    def eval_on_batch(self, batch):
+        batch, mask, valid = self._device_batch(dict(batch))
+        loss, preds, probs1 = self._eval_step(self.params, self.batch_stats,
+                                              batch, mask)
+        return float(loss), np.asarray(preds)[:valid], \
+            np.asarray(probs1)[:valid], valid
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+    def epoch_lr(self, epoch_id: int) -> float:
+        """Single-step LR decay (train_model.py:123-126)."""
+        if epoch_id in (0, 1):
+            return self.tcfg.learning_rate
+        return self.tcfg.learning_rate * self.tcfg.decay_rate
+
+
+def train(train_file: str, valid_file: str, model_dir: str,
+          log_dir: Optional[str], model_cfg: ModelConfig,
+          train_cfg: TrainConfig, is_binary: bool = False, mesh=None,
+          trainer: Optional[Trainer] = None) -> dict:
+    """Full training driver with reference logging/checkpoint semantics.
+
+    Returns a summary dict {best_accuracy, epochs_run, model_path}.
+    """
+    train_start = time.time()
+    tcfg = train_cfg
+    mcfg = model_cfg
+
+    removed = clean_model_dir(model_dir, mcfg.kmer_len, mcfg.cent_signals_len)
+    if removed:
+        print(f"the previous model ({removed} files) in model_directory "
+              "deleted...")
+    if log_dir is not None:
+        os.makedirs(log_dir, exist_ok=True)
+        for name in (TRAIN_LOG, VALID_LOG):
+            p = os.path.join(log_dir, name)
+            if os.path.exists(p):
+                os.remove(p)
+
+    train_ds = open_dataset(train_file, is_binary, mcfg.kmer_len,
+                            mcfg.cent_signals_len)
+    valid_ds = open_dataset(valid_file, is_binary, mcfg.kmer_len,
+                            mcfg.cent_signals_len)
+
+    if trainer is None:
+        trainer = Trainer(mcfg, tcfg, mesh=mesh)
+    shuffle_rng = np.random.default_rng(tcfg.seed)
+
+    test_accu_best = 0.0
+    best_path = None
+    epochs_run = 0
+    for epoch_id in range(tcfg.max_epoch_num):
+        start = time.time()
+        lr = trainer.epoch_lr(epoch_id)
+        tr_loss, tr_acc, tr_rec, tr_prec = [], [], [], []
+        test_accu_best_ep = 0.0
+        iter_id = 0
+        for batch in train_ds.batches(tcfg.batch_size,
+                                      shuffle_rng=shuffle_rng):
+            labels = np.asarray(batch["labels"])
+            loss, preds, valid = trainer.train_on_batch(batch, lr)
+            acc, rec, prec = batch_metrics(labels[:valid], preds,
+                                           mcfg.class_num)
+            tr_loss.append(loss)
+            tr_acc.append(acc)
+            tr_rec.append(rec)
+            tr_prec.append(prec)
+            iter_id += 1
+
+            if iter_id % tcfg.display_step == 0:
+                if log_dir is not None:
+                    with open(os.path.join(log_dir, TRAIN_LOG), "a") as f:
+                        f.write("epoch:%d, iterid:%d, loss:%.3f, "
+                                "accuracy:%.3f, recall:%.3f, precision:%.3f\n"
+                                % (epoch_id, iter_id, np.mean(tr_loss),
+                                   np.mean(tr_acc), np.mean(tr_rec),
+                                   np.mean(tr_prec)))
+                va_loss, va_acc, va_rec, va_prec = _validate(
+                    trainer, valid_ds, tcfg, mcfg)
+                if log_dir is not None:
+                    with open(os.path.join(log_dir, VALID_LOG), "a") as f:
+                        f.write("epoch:%d, iterid:%d, loss:%.3f, "
+                                "accuracy:%.3f, recall:%.3f, precision:%.3f\n"
+                                % (epoch_id, iter_id, va_loss, va_acc,
+                                   va_rec, va_prec))
+                if va_acc > test_accu_best_ep:
+                    test_accu_best_ep = va_acc
+                    if test_accu_best_ep > test_accu_best:
+                        best_path = os.path.join(
+                            model_dir, ckpt_name(mcfg.kmer_len,
+                                                 mcfg.cent_signals_len,
+                                                 epoch_id))
+                        save_checkpoint(best_path, mcfg, trainer.variables,
+                                        meta={"epoch": epoch_id,
+                                              "iter": iter_id,
+                                              "valid_accuracy": va_acc})
+                end = time.time()
+                sys.stdout.write(
+                    "epoch: %d, iterid: %d\n train_loss: %.3f, valid_loss: "
+                    "%.3f, train_accuracy: %.3f, valid_accuracy: %.3f, "
+                    "curr_epoch_best_accuracy: %.3f, time_cost: %.2fs\n"
+                    % (epoch_id, iter_id, np.mean(tr_loss), va_loss,
+                       np.mean(tr_acc), va_acc, test_accu_best_ep,
+                       end - start))
+                sys.stdout.flush()
+                tr_loss, tr_acc, tr_rec, tr_prec = [], [], [], []
+                start = time.time()
+
+        # epoch-final validation for the improvement check even when the
+        # epoch had < display_step iterations
+        if test_accu_best_ep == 0.0:
+            _, test_accu_best_ep, _, _ = _validate(trainer, valid_ds, tcfg,
+                                                   mcfg)
+            if test_accu_best_ep > test_accu_best:
+                best_path = os.path.join(
+                    model_dir, ckpt_name(mcfg.kmer_len, mcfg.cent_signals_len,
+                                         epoch_id))
+                save_checkpoint(best_path, mcfg, trainer.variables,
+                                meta={"epoch": epoch_id,
+                                      "valid_accuracy": test_accu_best_ep})
+        epochs_run = epoch_id + 1
+        improved = test_accu_best_ep > test_accu_best
+        if improved:
+            test_accu_best = test_accu_best_ep
+        sys.stdout.write("================ epoch %d best accuracy: %.3f, "
+                         "best accuracy: %.3f\n"
+                         % (epoch_id, test_accu_best_ep, test_accu_best))
+        sys.stdout.flush()
+        if not improved and epoch_id >= tcfg.min_epoch_num - 1:
+            break
+
+    sys.stdout.write("training finished, costs %.1f seconds..\n"
+                     % (time.time() - train_start))
+    return {"best_accuracy": test_accu_best, "epochs_run": epochs_run,
+            "model_path": best_path}
+
+
+def _validate(trainer: Trainer, valid_ds, tcfg: TrainConfig,
+              mcfg: ModelConfig):
+    losses, accs, recs, precs = [], [], [], []
+    for batch in valid_ds.batches(tcfg.batch_size):
+        labels = np.asarray(batch["labels"])
+        loss, preds, _probs, valid = trainer.eval_on_batch(batch)
+        acc, rec, prec = batch_metrics(labels[:valid], preds, mcfg.class_num)
+        losses.append(loss)
+        accs.append(acc)
+        recs.append(rec)
+        precs.append(prec)
+    if not losses:
+        return 0.0, 0.0, 0.0, 0.0
+    return (float(np.mean(losses)), float(np.mean(accs)),
+            float(np.mean(recs)), float(np.mean(precs)))
