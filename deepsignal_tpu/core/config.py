@@ -50,6 +50,9 @@ class ModelConfig:
     lstm_hidden: int = 256
     lstm_layers: int = 3
     inception_times: int = 16
+    # inception blocks per stage (reference: 3/5/3, layers.py:204-232);
+    # reducible for ablations and fast tests
+    inception_blocks: tuple = (3, 5, 3)
     is_cnn: bool = True
     is_rnn: bool = True
     is_base: bool = True

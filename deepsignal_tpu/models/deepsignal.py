@@ -70,6 +70,7 @@ class DeepSignalNet(nn.Module):
         signal_out = None
         if cfg.is_cnn:
             signal_out = InceptionNet(cfg.inception_times,
+                                      tuple(cfg.inception_blocks),
                                       name="signal_model")(
                 signals[..., None], train=train)
 

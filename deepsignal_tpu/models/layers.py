@@ -127,9 +127,12 @@ class InceptionBlock(nn.Module):
 
 
 class InceptionNet(nn.Module):
-    """Signal-branch CNN (layers.py:176-239).  Input [B, signal_len, 1]."""
+    """Signal-branch CNN (layers.py:176-239).  Input [B, signal_len, 1].
+
+    ``blocks`` = inception blocks per stage; the reference is (3, 5, 3)."""
 
     times: int = 16
+    blocks: tuple = (3, 5, 3)
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -137,14 +140,14 @@ class InceptionNet(nn.Module):
         x = _max_pool_same(x, 3, 2)
         x = ConvBNRelu(128, 1, name="conv_layer2")(x, train=train)
         x = ConvBNRelu(256, 3, name="conv_layer3")(x, train=train)
-        for i in range(1, 4):
-            x = InceptionBlock(self.times, name=f"incp_layer{i}")(x, train=train)
-        x = _max_pool_same(x, 3, 2)
-        for i in range(4, 9):
-            x = InceptionBlock(self.times, name=f"incp_layer{i}")(x, train=train)
-        x = _max_pool_same(x, 3, 2)
-        for i in range(9, 12):
-            x = InceptionBlock(self.times, name=f"incp_layer{i}")(x, train=train)
+        idx = 1
+        for stage, n_blocks in enumerate(self.blocks):
+            if stage > 0:
+                x = _max_pool_same(x, 3, 2)
+            for _ in range(n_blocks):
+                x = InceptionBlock(self.times,
+                                   name=f"incp_layer{idx}")(x, train=train)
+                idx += 1
         # avg pool 1x7 stride 1 SAME; TF average_pooling2d excludes padding
         # from the denominator -> count_include_pad=False
         x = nn.avg_pool(x, window_shape=(7,), strides=(1,), padding="SAME",

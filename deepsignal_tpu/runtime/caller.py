@@ -105,6 +105,40 @@ def _pad(arr: np.ndarray, batch_size: int) -> np.ndarray:
     return np.concatenate([arr, reps], axis=0)
 
 
+def run_call_mods(input_path: str, model_path: str, result_file: str,
+                  feature_cfg, batch_size: int = 512, nproc: int = 2,
+                  f5_batch_num: int = 50, reference_path=None,
+                  position_file=None, is_recursive: bool = True,
+                  use_mesh: bool = True, model_cfg_override=None) -> int:
+    """Top-level call_mods driver (call_modifications.py:417-495): dispatch
+    on fast5-dir vs feature-TSV input, stream batches through the jitted
+    caller, write the 10-column call TSV.  Returns the call count."""
+    import os
+    import time
+    from ..parallel.mesh import make_mesh
+    from ..train.checkpoints import load_checkpoint
+    from .pipeline import (stream_fast5_feature_batches,
+                           stream_file_feature_batches)
+
+    start = time.time()
+    cfg, variables = load_checkpoint(os.path.abspath(model_path),
+                                     cfg=model_cfg_override)
+    mesh = make_mesh() if use_mesh else None
+    caller = ModCaller(cfg, variables, batch_size=batch_size, mesh=mesh)
+
+    input_path = os.path.abspath(input_path)
+    if os.path.isdir(input_path):
+        batches = stream_fast5_feature_batches(
+            input_path, feature_cfg, reference_path=reference_path,
+            nproc=nproc, f5_batch_num=f5_batch_num,
+            position_file=position_file, is_recursive=is_recursive)
+    else:
+        batches = stream_file_feature_batches(input_path, f5_batch_num)
+    count = call_mods_on_batches(caller, batches, result_file)
+    print("call_mods costs %.2f seconds.." % (time.time() - start))
+    return count
+
+
 def call_mods_on_batches(caller: ModCaller,
                          batches: Iterable[FeatureBatch],
                          out_path: str,

@@ -1,0 +1,264 @@
+"""Host-side streaming pipeline: multiprocess featurization + writers.
+
+Re-design of the reference's process orchestration (SURVEY.md §2.3;
+extract_features.py:306-478, call_modifications.py:300-495):
+
+- ``run_extract``: worker-pool fan-out over fast5 batches -> TSV writer
+  process (file or rotating dir files).
+- ``stream_fast5_feature_batches``: worker pool featurizes fast5 batches and
+  streams FeatureBatch structs to the caller — the TPU-mode analogue of the
+  reference's "N-1 extractor procs feeding the one device-owning proc"
+  (call_modifications.py:353-414); here the main process owns the jitted
+  model on the TPU mesh.
+- ``stream_file_feature_batches``: background reader process parsing the
+  feature TSV into read-grouped FeatureBatches (call_modifications.py:35-91).
+
+Clean-shutdown design: per-worker ``None`` sentinels on JoinableQueues
+replace the reference's re-put "kill" strings + 1s polling + success-file
+broadcast; no busy-waiting anywhere.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+import queue as queue_mod
+import time
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..core.config import FeatureConfig
+from ..core.constants import get_motif_seqs
+from ..featurize.extractor import (extract_fast5_batch,
+                                   read_features_to_batch,
+                                   read_position_file)
+from ..io.fasta import get_contig2len
+from ..io.fast5 import get_fast5s
+from ..io.feature_codec import FeatureBatch, iter_feature_batches_by_read
+
+QUEUE_MAX_BATCHES = 100  # backpressure bound (vs reference's qsize polling)
+
+
+def _extract_worker(fast5s_q, out_q, errornum_q, cfg: FeatureConfig,
+                    motif_seqs, chrom2len, positions, as_batch: bool,
+                    seed_base: int):
+    """Worker loop: fast5 path batches -> TSV rows or FeatureBatch."""
+    import random
+    rng = (random.Random(seed_base + os.getpid())
+           if cfg.central_sample_seed is not None else None)
+    while True:
+        item = fast5s_q.get()
+        if item is None:
+            fast5s_q.task_done()
+            break
+        feats_list, errors = extract_fast5_batch(item, motif_seqs, cfg,
+                                                 chrom2len, positions, rng)
+        errornum_q.put(errors)
+        if as_batch:
+            fb = read_features_to_batch(feats_list)
+            if fb is not None:
+                out_q.put(fb)
+        else:
+            rows = [r for f in feats_list for r in f.to_tsv_rows()]
+            out_q.put(rows)
+        fast5s_q.task_done()
+
+
+def _write_rows_file(write_fp: str, rows_q):
+    with open(write_fp, "w") as wf:
+        while True:
+            rows = rows_q.get()
+            if rows is None:
+                break
+            for r in rows:
+                wf.write(r + "\n")
+            wf.flush()
+
+
+def _write_rows_dir(write_dir: str, rows_q, w_batch_num: int):
+    """Rotating output files, w_batch_num row-batches per file
+    (extract_features.py:351-378)."""
+    if os.path.exists(write_dir):
+        if os.path.isfile(write_dir):
+            raise FileExistsError(
+                f"{write_dir} already exists as a file, please use another "
+                "write_dir")
+    else:
+        os.makedirs(write_dir)
+    file_count = 0
+    batch_count = 0
+    wf = open(os.path.join(write_dir, f"{file_count}.tsv"), "w")
+    try:
+        while True:
+            rows = rows_q.get()
+            if rows is None:
+                break
+            if batch_count >= w_batch_num:
+                wf.flush()
+                wf.close()
+                file_count += 1
+                wf = open(os.path.join(write_dir, f"{file_count}.tsv"), "w")
+                batch_count = 0
+            for r in rows:
+                wf.write(r + "\n")
+            batch_count += 1
+    finally:
+        wf.close()
+
+
+def _preprocess(fast5_dir: str, cfg: FeatureConfig, reference_path,
+                position_file, is_recursive: bool):
+    fast5_files = get_fast5s(fast5_dir, is_recursive)
+    print("{} fast5 files in total..".format(len(fast5_files)))
+    motif_seqs = get_motif_seqs(cfg.motifs, cfg.is_dna)
+    chrom2len = get_contig2len(reference_path) if reference_path else None
+    positions = read_position_file(position_file) if position_file else None
+    return fast5_files, motif_seqs, chrom2len, positions
+
+
+def run_extract(fast5_dir: str, write_path: str, cfg: FeatureConfig,
+                reference_path: Optional[str] = None, nproc: int = 1,
+                f5_batch_num: int = 50, w_is_dir: bool = False,
+                w_batch_num: int = 200, position_file: Optional[str] = None,
+                is_recursive: bool = True) -> int:
+    """Multiprocess feature extraction driver (extract_features.py:424-478).
+    Returns the number of failed fast5 files."""
+    start = time.time()
+    fast5_files, motif_seqs, chrom2len, positions = _preprocess(
+        fast5_dir, cfg, reference_path, position_file, is_recursive)
+
+    n_workers = max(1, nproc - 1) if nproc > 1 else 1
+    ctx = mp.get_context("spawn")
+    fast5s_q = ctx.JoinableQueue()
+    rows_q = ctx.Queue(maxsize=QUEUE_MAX_BATCHES)
+    errornum_q = ctx.Queue()
+
+    for i in range(0, len(fast5_files), f5_batch_num):
+        fast5s_q.put(fast5_files[i:i + f5_batch_num])
+    for _ in range(n_workers):
+        fast5s_q.put(None)
+
+    workers = []
+    for w in range(n_workers):
+        p = ctx.Process(target=_extract_worker,
+                        args=(fast5s_q, rows_q, errornum_q, cfg, motif_seqs,
+                              chrom2len, positions, False, 1000 * w),
+                        daemon=True)
+        p.start()
+        workers.append(p)
+
+    if w_is_dir:
+        writer = ctx.Process(target=_write_rows_dir,
+                             args=(write_path, rows_q, w_batch_num),
+                             daemon=True)
+    else:
+        writer = ctx.Process(target=_write_rows_file,
+                             args=(write_path, rows_q), daemon=True)
+    writer.start()
+
+    for p in workers:
+        p.join()
+    rows_q.put(None)
+    writer.join()
+
+    errornum_sum = 0
+    while True:
+        try:
+            errornum_sum += errornum_q.get_nowait()
+        except queue_mod.Empty:
+            break
+    print("%d of %d fast5 files failed..\nextract_features costs %.1f "
+          "seconds.." % (errornum_sum, len(fast5_files),
+                         time.time() - start))
+    return errornum_sum
+
+
+def stream_fast5_feature_batches(fast5_dir: str, cfg: FeatureConfig,
+                                 reference_path: Optional[str] = None,
+                                 nproc: int = 2, f5_batch_num: int = 50,
+                                 position_file: Optional[str] = None,
+                                 is_recursive: bool = True
+                                 ) -> Iterator[FeatureBatch]:
+    """Featurize fast5s with a worker pool; yield FeatureBatches in the main
+    process (which owns the TPU).  Mirrors _call_mods_from_fast5s_gpu's
+    extractor fan-in (call_modifications.py:353-414)."""
+    fast5_files, motif_seqs, chrom2len, positions = _preprocess(
+        fast5_dir, cfg, reference_path, position_file, is_recursive)
+
+    n_workers = max(1, nproc - 1)
+    ctx = mp.get_context("spawn")
+    fast5s_q = ctx.JoinableQueue()
+    batch_q = ctx.Queue(maxsize=QUEUE_MAX_BATCHES)
+    errornum_q = ctx.Queue()
+
+    for i in range(0, len(fast5_files), f5_batch_num):
+        fast5s_q.put(fast5_files[i:i + f5_batch_num])
+    for _ in range(n_workers):
+        fast5s_q.put(None)
+
+    workers = []
+    for w in range(n_workers):
+        p = ctx.Process(target=_extract_worker,
+                        args=(fast5s_q, batch_q, errornum_q, cfg, motif_seqs,
+                              chrom2len, positions, True, 1000 * w),
+                        daemon=True)
+        p.start()
+        workers.append(p)
+
+    finished = 0
+    while True:
+        if finished == len(workers) and batch_q.empty():
+            # re-check liveness: all workers done and queue drained
+            if all(not p.is_alive() for p in workers):
+                try:
+                    fb = batch_q.get_nowait()
+                except queue_mod.Empty:
+                    break
+                yield fb
+                continue
+        try:
+            fb = batch_q.get(timeout=0.2)
+        except queue_mod.Empty:
+            finished = sum(1 for p in workers if not p.is_alive())
+            continue
+        yield fb
+
+    for p in workers:
+        p.join()
+    errornum_sum = 0
+    while True:
+        try:
+            errornum_sum += errornum_q.get_nowait()
+        except queue_mod.Empty:
+            break
+    print("%d of %d fast5 files failed.." % (errornum_sum, len(fast5_files)))
+
+
+def _file_reader_proc(features_file: str, batch_q, reads_per_batch: int):
+    for fb in iter_feature_batches_by_read(features_file, reads_per_batch):
+        batch_q.put(fb)
+    batch_q.put(None)
+
+
+def stream_file_feature_batches(features_file: str, reads_per_batch: int = 50,
+                                background: bool = True
+                                ) -> Iterator[FeatureBatch]:
+    """Read-grouped TSV streaming, optionally in a background reader process
+    (call_modifications.py:450-455)."""
+    if not background:
+        yield from iter_feature_batches_by_read(features_file,
+                                                reads_per_batch)
+        return
+    ctx = mp.get_context("spawn")
+    batch_q = ctx.Queue(maxsize=QUEUE_MAX_BATCHES)
+    reader = ctx.Process(target=_file_reader_proc,
+                         args=(features_file, batch_q, reads_per_batch),
+                         daemon=True)
+    reader.start()
+    while True:
+        fb = batch_q.get()
+        if fb is None:
+            break
+        yield fb
+    reader.join()

@@ -3,15 +3,18 @@ so sharding/mesh tests run without TPU hardware (SURVEY.md §4 test plan)."""
 
 import os
 
-# Force CPU: the session environment pins JAX_PLATFORMS=axon (the real TPU
-# behind a network tunnel); unit tests must never run ops through it.
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# Force CPU: this machine routes jax to the remote TPU via the experimental
+# 'axon' platform, and a site hook forces jax_platforms="axon,cpu" so the
+# JAX_PLATFORMS env var is IGNORED.  Unit tests must never run ops through
+# the TPU tunnel (intermittent multi-minute stalls); pin via config instead.
+jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

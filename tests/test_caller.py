@@ -13,6 +13,7 @@ from deepsignal_tpu.train.checkpoints import (clean_model_dir, ckpt_name,
                                               save_checkpoint)
 
 TINY = dict(lstm_hidden=8, lstm_layers=1, inception_times=1,
+            inception_blocks=(1, 1, 1),
             cent_signals_len=24, kmer_len=5)
 
 

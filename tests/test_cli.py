@@ -1,0 +1,99 @@
+"""CLI surface: parser contract + host-only subcommands end-to-end."""
+
+import numpy as np
+import pytest
+
+from deepsignal_tpu.cli.main import build_parser, main
+
+
+def test_all_subcommands_registered():
+    parser = build_parser()
+    subactions = [a for a in parser._actions
+                  if hasattr(a, "choices") and a.choices]
+    cmds = set(subactions[0].choices.keys())
+    # the reference's 4 core modules (deepsignal.py:131-427)
+    assert {"extract", "call_mods", "train", "denoise"} <= cmds
+    # scripts promoted to subcommands (SURVEY.md §2.2)
+    assert {"call_freq", "combine_freq", "combine_strands", "evaluate",
+            "binarize", "filter_label", "filter_positions", "select_neg",
+            "kmer_dist", "randsel", "shuffle", "concat",
+            "visualize_log"} <= cmds
+
+
+def test_extract_parser_defaults():
+    parser = build_parser()
+    args = parser.parse_args(["extract", "-i", "/x", "-o", "/y"])
+    # reference CLI defaults (SURVEY.md §2.6)
+    assert args.kmer_len == 17
+    assert args.cent_signals_len == 360
+    assert args.motifs == "CG"
+    assert args.mod_loc == 0
+    assert args.methy_label == 1
+    assert args.normalize_method == "mad"
+    assert args.nproc == 1
+    assert args.f5_batch_num == 50
+    assert args.w_batch_num == 200
+    assert args.corrected_group == "RawGenomeCorrected_000"
+
+
+def test_train_parser_defaults():
+    parser = build_parser()
+    args = parser.parse_args(["train", "--train_file", "a", "--valid_file",
+                              "b", "-o", "m"])
+    assert args.batch_size == 512
+    assert args.learning_rate == 0.001
+    assert args.decay_rate == 0.1
+    assert args.keep_prob == 0.5
+    assert args.max_epoch_num == 10
+    assert args.min_epoch_num == 5
+    assert args.display_step == 100
+    assert args.pos_weight == 1.0
+
+
+def test_denoise_parser_defaults():
+    parser = build_parser()
+    args = parser.parse_args(["denoise", "--train_file", "a"])
+    assert args.iterations == 6 and args.rounds == 5
+    assert args.epoch_num == 5 and args.score_cf == 0.5
+    assert args.is_cnn == "no" and args.is_rnn == "yes"
+
+
+def test_no_command_prints_help():
+    assert main([]) == 1
+
+
+def test_binarize_cli(tmp_path, rng):
+    k, s = 5, 24
+    bases = np.array(list("ACGT"))
+    rows = []
+    for i in range(3):
+        kmer = "".join(bases[rng.integers(0, 4, k)])
+        rows.append("\t".join(
+            ["chr1", str(i), "+", str(i), "r", "t", kmer,
+             ",".join(["0.1"] * k), ",".join(["0.2"] * k),
+             ",".join(["3"] * k), ",".join(["0.5"] * s), "1"]))
+    f = tmp_path / "fea.tsv"
+    f.write_text("\n".join(rows) + "\n")
+    out = tmp_path / "fea.bin"
+    assert main(["binarize", "-i", str(f), "-o", str(out), "-x", "5",
+                 "-y", "24"]) == 0
+    assert out.stat().st_size == 3 * (5 * 11 + 24 * 4 + 1)
+
+
+def test_call_freq_cli(tmp_path):
+    calls = tmp_path / "calls.tsv"
+    calls.write_text("chr1\t10\t+\t10\tr1\tt\t0.1\t0.9\t1\tACGTA\n")
+    out = tmp_path / "freq.tsv"
+    assert main(["call_freq", "-i", str(calls), "-o", str(out),
+                 "--sort"]) == 0
+    w = out.read_text().strip().split("\t")
+    assert w[0] == "chr1" and w[8] == "1"
+
+
+def test_filter_label_cli(tmp_path):
+    f = tmp_path / "fea.tsv"
+    f.write_text("a\tb\t1\nc\td\t0\n")
+    out = tmp_path / "out.tsv"
+    assert main(["filter_label", "-i", str(f), "-o", str(out),
+                 "--label", "0"]) == 0
+    assert out.read_text() == "c\td\t0\n"

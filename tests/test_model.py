@@ -18,6 +18,7 @@ from deepsignal_tpu.models.deepsignal import (
 from deepsignal_tpu.ops.bilstm import lstm_layer
 
 TINY = dict(lstm_hidden=8, lstm_layers=1, inception_times=1,
+            inception_blocks=(1, 1, 1),
             cent_signals_len=24, kmer_len=5)
 
 

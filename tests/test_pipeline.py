@@ -1,0 +1,81 @@
+"""Multiprocess streaming pipeline (extract fan-out, batch streaming)."""
+
+import numpy as np
+import pytest
+
+from deepsignal_tpu.core.config import FeatureConfig
+from deepsignal_tpu.io.fast5 import write_synthetic_fast5
+from deepsignal_tpu.runtime.pipeline import (run_extract,
+                                             stream_fast5_feature_batches,
+                                             stream_file_feature_batches)
+
+
+@pytest.fixture
+def fast5_dir(tmp_path, rng):
+    d = tmp_path / "f5"
+    d.mkdir()
+    for i in range(6):
+        n = 120
+        seq = "".join(np.array(list("ACGT"))[rng.integers(0, 4, n)])
+        lengths = rng.integers(3, 20, size=n)
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        raw = rng.integers(400, 900,
+                           size=int(lengths.sum()) + 5).astype(np.int16)
+        write_synthetic_fast5(
+            str(d / f"r{i}.fast5"), read_id=f"rid-{i}", raw_signal=raw,
+            event_starts_rel=starts, event_lengths=lengths, seq=seq,
+            mapped_chrom="chrI", mapped_start=1000 * i,
+            mapped_strand="+" if i % 2 == 0 else "-")
+    return str(d)
+
+
+def test_run_extract_single_file(fast5_dir, tmp_path):
+    out = tmp_path / "features.tsv"
+    errors = run_extract(fast5_dir, str(out), FeatureConfig(), nproc=2,
+                         f5_batch_num=2)
+    assert errors == 0
+    lines = out.read_text().splitlines()
+    assert lines
+    assert all(len(l.split("\t")) == 12 for l in lines)
+    readnames = {l.split("\t")[4] for l in lines}
+    assert readnames <= {f"rid-{i}" for i in range(6)}
+
+
+def test_run_extract_dir_output(fast5_dir, tmp_path):
+    outdir = tmp_path / "features_dir"
+    errors = run_extract(fast5_dir, str(outdir), FeatureConfig(), nproc=3,
+                         f5_batch_num=1, w_is_dir=True, w_batch_num=2)
+    assert errors == 0
+    import os
+    files = sorted(os.listdir(outdir))
+    assert files and files[0] == "0.tsv"
+    total = sum(len(open(outdir / f).read().splitlines()) for f in files)
+    assert total > 0
+
+
+def test_stream_fast5_batches(fast5_dir):
+    batches = list(stream_fast5_feature_batches(
+        fast5_dir, FeatureConfig(), nproc=3, f5_batch_num=2))
+    assert batches
+    total = sum(len(b) for b in batches)
+    assert total > 0
+    for b in batches:
+        assert b.kmers.shape[1] == 17
+        assert b.signals.shape[1] == 360
+
+
+def test_stream_file_batches_background(tmp_path, rng):
+    k, s = 5, 24
+    rows = []
+    for i in range(20):
+        rows.append("\t".join(
+            ["chr1", str(i), "+", str(i), f"read{i // 3}", "t", "ACGTA",
+             ",".join(["0.1"] * k), ",".join(["0.2"] * k),
+             ",".join(["3"] * k), ",".join(["0.5"] * s), "1"]))
+    f = tmp_path / "fea.tsv"
+    f.write_text("\n".join(rows) + "\n")
+    fg = list(stream_file_feature_batches(str(f), 2, background=False))
+    bg = list(stream_file_feature_batches(str(f), 2, background=True))
+    assert sum(len(b) for b in fg) == 20
+    assert sum(len(b) for b in bg) == 20
+    assert [len(b) for b in fg] == [len(b) for b in bg]
