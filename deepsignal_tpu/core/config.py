@@ -63,6 +63,9 @@ class ModelConfig:
     # fastest (bf16-class passes on MXU).  This backend's default is reduced
     # precision, so parity mode must pin "highest".
     matmul_precision: str = "highest"  # "highest" | "high" | "default"
+    # LSTM recurrence implementation: "auto" = fused Pallas kernel on TPU,
+    # lax.scan elsewhere; "xla" / "pallas" force one.
+    lstm_impl: str = "auto"
 
     def __post_init__(self):
         if not (self.is_cnn or self.is_rnn):

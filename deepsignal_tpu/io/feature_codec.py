@@ -21,6 +21,11 @@ import numpy as np
 
 from ..core.constants import BASE2CODE_DNA, CODE2BASE_DNA, encode_seq
 
+try:  # optional native parser (deepsignal_tpu/native/fastparse.cpp)
+    from .. import _fastparse as _native
+except ImportError:  # pragma: no cover - build-dependent
+    _native = None
+
 
 @dataclasses.dataclass
 class FeatureBatch:
@@ -78,13 +83,28 @@ def binary_record_len(kmer_len: int = 17, signal_len: int = 360) -> int:
     return kmer_len * 11 + signal_len * 4 + 1
 
 
-def parse_feature_lines(lines) -> FeatureBatch:
+def parse_feature_lines(lines, kmer_len: Optional[int] = None,
+                        signal_len: Optional[int] = None) -> FeatureBatch:
     """Parse TSV feature lines into a FeatureBatch.
 
     Mirrors the per-line parse in ``_read_features_file``
     (call_modifications.py:51-57): col6 k-mer -> codes, cols 7-10 csv floats/
-    ints, col 11 label.
+    ints, col 11 label.  Uses the native C++ block parser when built
+    (5-10x the Python path); pass kmer_len/signal_len to skip probing them
+    from the first row.
     """
+    lines = list(lines)
+    if _native is not None and lines:
+        if kmer_len is None or signal_len is None:
+            w = lines[0].split("\t")
+            kmer_len = len(w[6])
+            signal_len = w[10].count(",") + 1
+        block = "".join(l if l.endswith("\n") else l + "\n"
+                        for l in lines).encode()
+        (sampleinfo, kmers, means, stds, lens, signals,
+         labels) = _native.parse_feature_block(block, kmer_len, signal_len)
+        return FeatureBatch(sampleinfo, kmers, means, stds, lens, signals,
+                            labels)
     sampleinfo = []
     kmers, means, stds, lens, signals, labels = [], [], [], [], [], []
     for line in lines:
@@ -105,6 +125,38 @@ def parse_feature_lines(lines) -> FeatureBatch:
         signals=np.asarray(signals, dtype=np.float32),
         labels=np.asarray(labels, dtype=np.int32),
     )
+
+
+def parse_feature_bytes(block: bytes, kmer_len: int,
+                        signal_len: int) -> FeatureBatch:
+    """Parse a raw bytes block of feature rows (fast path: native parser,
+    no per-line Python strings)."""
+    if _native is not None:
+        (sampleinfo, kmers, means, stds, lens, signals,
+         labels) = _native.parse_feature_block(block, kmer_len, signal_len)
+        return FeatureBatch(sampleinfo, kmers, means, stds, lens, signals,
+                            labels)
+    return parse_feature_lines(block.decode().splitlines(True), kmer_len,
+                               signal_len)
+
+
+def iter_feature_bytes_chunks(path: str, chunk_bytes: int = 8 << 20):
+    """Stream a TSV file as line-aligned byte blocks."""
+    with open(path, "rb") as rf:
+        carry = b""
+        while True:
+            block = rf.read(chunk_bytes)
+            if not block:
+                if carry:
+                    yield carry
+                return
+            block = carry + block
+            cut = block.rfind(b"\n")
+            if cut < 0:
+                carry = block
+                continue
+            carry = block[cut + 1:]
+            yield block[:cut + 1]
 
 
 def iter_feature_batches_by_read(features_file: str,

@@ -64,6 +64,7 @@ class DeepSignalNet(nn.Module):
             else:
                 fusion = jnp.stack([means, stds, sanums], axis=2)
             event_out = BiLSTMEncoder(cfg.lstm_hidden, cfg.lstm_layers,
+                                      impl=cfg.lstm_impl,
                                       name="event_model")(
                 fusion, deterministic=not train, keep_prob=keep_prob)
 

@@ -27,16 +27,21 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.bilstm import lstm_layer
 
 
 class TFLSTMLayer(nn.Module):
-    """One unidirectional LSTM layer with TF1-LSTMCell weight layout."""
+    """One unidirectional LSTM layer with TF1-LSTMCell weight layout.
+
+    ``impl``: "auto" uses the fused Pallas VMEM-resident scan on TPU
+    (ops/pallas/lstm.py) and lax.scan elsewhere."""
 
     hidden: int
     reverse: bool = False
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -44,8 +49,15 @@ class TFLSTMLayer(nn.Module):
         kernel = self.param("kernel", nn.initializers.glorot_uniform(),
                             (d + self.hidden, 4 * self.hidden))
         bias = self.param("bias", nn.initializers.zeros, (4 * self.hidden,))
-        return lstm_layer(x, kernel.astype(x.dtype), bias.astype(x.dtype),
-                          reverse=self.reverse)
+        kernel = kernel.astype(x.dtype)
+        bias = bias.astype(x.dtype)
+        use_pallas = self.impl == "pallas" or (
+            self.impl == "auto" and jax.default_backend() == "tpu"
+            and x.shape[0] >= 8 and self.hidden % 128 == 0)
+        if use_pallas:
+            from ..ops.pallas import lstm_layer_pallas
+            return lstm_layer_pallas(x, kernel, bias, reverse=self.reverse)
+        return lstm_layer(x, kernel, bias, reverse=self.reverse)
 
 
 class BiLSTMEncoder(nn.Module):
@@ -53,15 +65,19 @@ class BiLSTMEncoder(nn.Module):
 
     hidden: int = 256
     num_layers: int = 3
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool, keep_prob: float = 1.0):
         fw, bw = x, x
         fw_out = bw_out = None
+        # the Pallas scan has no VJP — training (non-deterministic) paths
+        # take the differentiable lax.scan implementation
+        impl = self.impl if deterministic else "xla"
         for layer in range(self.num_layers):
-            fw_out = TFLSTMLayer(self.hidden, reverse=False,
+            fw_out = TFLSTMLayer(self.hidden, reverse=False, impl=impl,
                                  name=f"fw_{layer}")(fw)
-            bw_out = TFLSTMLayer(self.hidden, reverse=True,
+            bw_out = TFLSTMLayer(self.hidden, reverse=True, impl=impl,
                                  name=f"bw_{layer}")(bw)
             # DropoutWrapper(output_keep_prob) on every stacked cell
             # (layers.py:51-54); new mask per timestep == iid elementwise.

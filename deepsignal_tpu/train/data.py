@@ -108,15 +108,21 @@ class TextFeatureDataset:
                         carry.signals, carry.labels, batch_size)
 
     def _chunks(self) -> Iterator[FeatureBatch]:
+        from ..io.feature_codec import (iter_feature_bytes_chunks,
+                                        parse_feature_bytes)
+        k = s = None
+        # ~150 bytes/k-mer-col + ~8 bytes/signal: estimate chunk size from
+        # chunk_lines using the first line
         with open(self.path, "r") as rf:
-            lines: list = []
-            for line in rf:
-                lines.append(line)
-                if len(lines) >= self.chunk_lines:
-                    yield parse_feature_lines(lines)
-                    lines = []
-            if lines:
-                yield parse_feature_lines(lines)
+            first = rf.readline()
+            if not first:
+                return
+            w = first.split("\t")
+            k, s = len(w[6]), w[10].count(",") + 1
+            line_bytes = len(first)
+        chunk_bytes = max(1 << 20, self.chunk_lines * line_bytes)
+        for block in iter_feature_bytes_chunks(self.path, chunk_bytes):
+            yield parse_feature_bytes(block, k, s)
 
 
 def _take(fb: FeatureBatch, idx: np.ndarray) -> FeatureBatch:
