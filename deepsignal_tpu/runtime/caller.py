@@ -109,12 +109,23 @@ def run_call_mods(input_path: str, model_path: str, result_file: str,
                   feature_cfg, batch_size: int = 512, nproc: int = 2,
                   f5_batch_num: int = 50, reference_path=None,
                   position_file=None, is_recursive: bool = True,
-                  use_mesh: bool = True, model_cfg_override=None) -> int:
+                  use_mesh: bool = True, model_cfg_override=None,
+                  profile_dir=None) -> int:
     """Top-level call_mods driver (call_modifications.py:417-495): dispatch
     on fast5-dir vs feature-TSV input, stream batches through the jitted
-    caller, write the 10-column call TSV.  Returns the call count."""
+    caller, write the 10-column call TSV.  Returns the call count.
+
+    Multi-host: when launched under ``jax.distributed`` (process_count > 1)
+    each host consumes its stride shard of the fast5 list and writes
+    ``<result_file>.part<k>-of-<n>`` (merge with parallel.dist or feed the
+    shards straight to call_freq)."""
     import os
     import time
+
+    import jax
+
+    from ..core.logging import ThroughputMeter, trace
+    from ..parallel.dist import shard_output_path
     from ..parallel.mesh import make_mesh
     from ..train.checkpoints import load_checkpoint
     from .pipeline import (stream_fast5_feature_batches,
@@ -126,15 +137,24 @@ def run_call_mods(input_path: str, model_path: str, result_file: str,
     mesh = make_mesh() if use_mesh else None
     caller = ModCaller(cfg, variables, batch_size=batch_size, mesh=mesh)
 
+    n_hosts = jax.process_count()
+    result_file = shard_output_path(result_file)
+
     input_path = os.path.abspath(input_path)
     if os.path.isdir(input_path):
         batches = stream_fast5_feature_batches(
             input_path, feature_cfg, reference_path=reference_path,
             nproc=nproc, f5_batch_num=f5_batch_num,
-            position_file=position_file, is_recursive=is_recursive)
+            position_file=position_file, is_recursive=is_recursive,
+            host_shard=(jax.process_index(), n_hosts))
     else:
         batches = stream_file_feature_batches(input_path, f5_batch_num)
-    count = call_mods_on_batches(caller, batches, result_file)
+
+    meter = ThroughputMeter("call_mods")
+    with trace(profile_dir):
+        count = call_mods_on_batches(caller, batches, result_file,
+                                     meter=meter)
+    print(meter.line())
     print("call_mods costs %.2f seconds.." % (time.time() - start))
     return count
 
@@ -142,7 +162,8 @@ def run_call_mods(input_path: str, model_path: str, result_file: str,
 def call_mods_on_batches(caller: ModCaller,
                          batches: Iterable[FeatureBatch],
                          out_path: str,
-                         flush_every: int = 1) -> int:
+                         flush_every: int = 1,
+                         meter=None) -> int:
     """Serial driver: stream read-grouped FeatureBatches -> call TSV.
 
     Equivalent of the reference's reader->TF->writer process pipeline
@@ -156,6 +177,9 @@ def call_mods_on_batches(caller: ModCaller,
             for r in rows:
                 wf.write(r + "\n")
             count += len(rows)
+            if meter is not None:
+                n_reads = len({s.split("\t", 5)[4] for s in fb.sampleinfo})
+                meter.update(sites=len(rows), reads=n_reads)
             if (bi + 1) % flush_every == 0:
                 wf.flush()
     return count

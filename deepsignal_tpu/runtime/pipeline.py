@@ -108,8 +108,14 @@ def _write_rows_dir(write_dir: str, rows_q, w_batch_num: int):
 
 
 def _preprocess(fast5_dir: str, cfg: FeatureConfig, reference_path,
-                position_file, is_recursive: bool):
+                position_file, is_recursive: bool, host_shard=None):
     fast5_files = get_fast5s(fast5_dir, is_recursive)
+    if host_shard is not None and host_shard[1] > 1:
+        from ..parallel.dist import shard_file_list
+        fast5_files = shard_file_list(fast5_files, host_shard[0],
+                                      host_shard[1])
+        print("host {}/{}: {} fast5 files in shard..".format(
+            host_shard[0], host_shard[1], len(fast5_files)))
     print("{} fast5 files in total..".format(len(fast5_files)))
     motif_seqs = get_motif_seqs(cfg.motifs, cfg.is_dna)
     chrom2len = get_contig2len(reference_path) if reference_path else None
@@ -178,13 +184,16 @@ def stream_fast5_feature_batches(fast5_dir: str, cfg: FeatureConfig,
                                  reference_path: Optional[str] = None,
                                  nproc: int = 2, f5_batch_num: int = 50,
                                  position_file: Optional[str] = None,
-                                 is_recursive: bool = True
+                                 is_recursive: bool = True,
+                                 host_shard=None
                                  ) -> Iterator[FeatureBatch]:
     """Featurize fast5s with a worker pool; yield FeatureBatches in the main
     process (which owns the TPU).  Mirrors _call_mods_from_fast5s_gpu's
-    extractor fan-in (call_modifications.py:353-414)."""
+    extractor fan-in (call_modifications.py:353-414).  ``host_shard=(k, n)``
+    restricts to this host's stride shard of the fast5 list."""
     fast5_files, motif_seqs, chrom2len, positions = _preprocess(
-        fast5_dir, cfg, reference_path, position_file, is_recursive)
+        fast5_dir, cfg, reference_path, position_file, is_recursive,
+        host_shard)
 
     n_workers = max(1, nproc - 1)
     ctx = mp.get_context("spawn")
