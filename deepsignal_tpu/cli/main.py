@@ -147,6 +147,22 @@ def main_evaluate(args) -> None:
     evaluate_mods_call(args.methylated, args.unmethylated, args.result_file)
 
 
+def main_runner(args) -> None:
+    from ..tools.runner import RunnerConfig, run_pipeline
+    cfg = RunnerConfig(
+        input_path=args.input_path, ref_fp=args.ref_fp,
+        model_path=args.model_path, result_file=args.result_file,
+        is_multi_reads=args.is_multi_reads, flowcell=args.flowcell,
+        kit=args.kit, num_callers=args.num_callers, gpu=args.gpu,
+        basecall_group=args.basecall_group,
+        basecall_subgroup=args.basecall_subgroup,
+        corrected_group=args.corrected_group, kmer_len=args.kmer_len,
+        cent_signals_len=args.cent_signals_len, motifs=args.motifs,
+        mod_loc=args.mod_loc, threads=args.nproc,
+        is_basecalled=args.is_basecalled, is_resquiggled=args.is_resquiggled)
+    run_pipeline(cfg, dry_run=args.dry_run)
+
+
 def main_binarize(args) -> None:
     from ..io.feature_codec import convert_txt_to_binary
     out = args.write_path
@@ -442,6 +458,38 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--methylated", type=str, required=True)
     p.add_argument("--result_file", type=str, required=True)
     p.set_defaults(func=main_evaluate)
+
+    p = subparsers.add_parser(
+        "runner",
+        description="one-shot pipeline: multi_to_single_fast5 -> guppy -> "
+                    "tombo resquiggle -> call_mods (external tools must be "
+                    "installed; call_mods runs in-process on TPU)")
+    p.add_argument("--input_path", "-i", type=str, required=True)
+    p.add_argument("--ref_fp", "-r", type=str, required=True)
+    p.add_argument("--model_path", "-m", type=str, required=True)
+    p.add_argument("--result_file", "-o", type=str, required=True)
+    p.add_argument("--is_multi_reads", type=str2bool, default=False,
+                   help="input fast5s are multi-read files")
+    p.add_argument("--is_basecalled", type=str2bool, default=False)
+    p.add_argument("--is_resquiggled", type=str2bool, default=False)
+    p.add_argument("--flowcell", type=str, default="FLO-MIN106")
+    p.add_argument("--kit", type=str, default="SQK-LSK108")
+    p.add_argument("--num_callers", type=int, default=4)
+    p.add_argument("--gpu", type=str, default="cuda:0",
+                   help="guppy device arg (guppy only; calling is on TPU)")
+    p.add_argument("--basecall_group", type=str, default="Basecall_1D_000")
+    p.add_argument("--basecall_subgroup", type=str,
+                   default="BaseCalled_template")
+    p.add_argument("--corrected_group", type=str,
+                   default="RawGenomeCorrected_000")
+    p.add_argument("--kmer_len", type=int, default=17)
+    p.add_argument("--cent_signals_len", type=int, default=360)
+    p.add_argument("--motifs", type=str, default="CG")
+    p.add_argument("--mod_loc", type=int, default=0)
+    p.add_argument("--nproc", "-p", type=int, default=4)
+    p.add_argument("--dry_run", type=str2bool, default=False,
+                   help="print the stage commands without executing")
+    p.set_defaults(func=main_runner)
 
     p = subparsers.add_parser(
         "binarize", description="feature TSV -> fixed-length binary records")

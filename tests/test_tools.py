@@ -202,3 +202,71 @@ def test_combine_two_strands(tmp_path):
     assert w[0] == "chrT" and w[1] == "3" and w[2] == "+"
     assert int(w[6]) == 3 and int(w[7]) == 1 and int(w[8]) == 4
     assert abs(float(w[9]) - 0.75) < 1e-9
+
+
+def test_runner_plan_full_pipeline():
+    from deepsignal_tpu.tools.runner import RunnerConfig, plan
+    cfg = RunnerConfig(input_path="/d/f5/", ref_fp="/d/ref.fa",
+                       model_path="/d/m", result_file="/d/out.tsv",
+                       is_multi_reads=True, threads=8)
+    cmds = plan(cfg)
+    names = [c[0] for c in cmds]
+    assert names == ["multi_to_single_fast5", "guppy_basecaller", "tombo",
+                     "tombo", "<in-process>"]
+    # multi->single output feeds downstream stages
+    assert "/d/f5.single" in cmds[1]
+    assert cmds[2][1] == "preprocess" and cmds[3][1] == "resquiggle"
+    assert "--threads" in cmds[0] and cmds[0][cmds[0].index("--threads") + 1] == "8"
+
+
+def test_runner_plan_skips_done_stages():
+    from deepsignal_tpu.tools.runner import RunnerConfig, plan
+    cfg = RunnerConfig(input_path="/d/f5", ref_fp="/d/ref.fa",
+                       model_path="/d/m", result_file="/d/o.tsv",
+                       is_resquiggled=True)
+    cmds = plan(cfg)
+    assert [c[0] for c in cmds] == ["<in-process>"]
+    cfg2 = RunnerConfig(input_path="/d/f5", ref_fp="/d/ref.fa",
+                        model_path="/d/m", result_file="/d/o.tsv",
+                        is_basecalled=True)
+    assert [c[0] for c in plan(cfg2)] == ["tombo", "<in-process>"]
+
+
+def test_runner_combine_fastqs(tmp_path):
+    from deepsignal_tpu.tools.runner import _combine_fastqs
+    (tmp_path / "a.fastq").write_text("@r1\nACGT\n+\n!!!!\n")
+    (tmp_path / "b.fastq").write_text("@r2\nGGGG\n+\n!!!!\n")
+    combined = _combine_fastqs(str(tmp_path))
+    text = open(combined).read()
+    assert "@r1" in text and "@r2" in text
+    # idempotent: combined.fastq itself is excluded from re-concatenation
+    combined2 = _combine_fastqs(str(tmp_path))
+    assert open(combined2).read() == text
+
+
+def test_runner_executes_external_stages_via_injected_runner(
+        tmp_path, monkeypatch):
+    from deepsignal_tpu.tools import runner as runner_mod
+    fq_dir = tmp_path / "f5.guppy.fq"
+    fq_dir.mkdir()
+    (fq_dir / "a.fastq").write_text("@r1\nACGT\n+\n!!!!\n")
+    ran = []
+
+    def fake_exec(argv):
+        ran.append(argv[1] if argv[0] == "tombo" else argv[0])
+        if argv[0] == "tombo" and argv[1] == "preprocess":
+            combined = argv[argv.index("--fastq-filenames") + 1]
+            assert "@r1" in open(combined).read()
+
+    called = {}
+    monkeypatch.setattr(
+        "deepsignal_tpu.runtime.caller.run_call_mods",
+        lambda *a, **kw: called.setdefault("args", a) or 0)
+    cfg = runner_mod.RunnerConfig(
+        input_path=str(tmp_path / "f5"), ref_fp=str(tmp_path / "ref.fa"),
+        model_path="m.ckpt", result_file=str(tmp_path / "out.tsv"))
+    runner_mod.run_pipeline(cfg, runner=fake_exec)
+    assert ran == ["guppy_basecaller", "preprocess", "resquiggle"]
+    # combined.fastq removed after preprocess (reference removes it too)
+    assert not (fq_dir / "combined.fastq").exists()
+    assert called["args"][0] == str(tmp_path / "f5")
