@@ -66,33 +66,52 @@ class ModCaller:
         Rows follow the exact 10-column output contract
         (call_modifications.py:184-190), in input order (the read-grouping
         contract holds because input batches are read-grouped).
+
+        All device sub-batches are dispatched before any result is fetched:
+        JAX async dispatch keeps the chip busy on sub-batch i+1 while the
+        host blocks on / formats sub-batch i.
         """
         n = len(fb)
         bs = self.batch_size
-        rows: list = []
-        all_pred = np.empty(n, dtype=np.int64)
-        all_p0 = np.empty(n, dtype=np.float32)
-        all_p1 = np.empty(n, dtype=np.float32)
+        pending = []
         for i in range(0, n, bs):
             j = min(i + bs, n)
-            valid = j - i
             kmer = _pad(fb.kmers[i:j], bs)
             means = _pad(fb.means[i:j], bs)
             stds = _pad(fb.stds[i:j], bs)
             sanums = _pad(fb.lens[i:j].astype(np.float32), bs)
             signals = _pad(fb.signals[i:j], bs)
-            p0, p1, pred = self._run_fixed(kmer, means, stds, sanums, signals)
-            p0 = np.asarray(p0)[:valid]
-            p1 = np.asarray(p1)[:valid]
-            pred = np.asarray(pred)[:valid]
-            all_p0[i:j], all_p1[i:j], all_pred[i:j] = p0, p1, pred
-            for idx in range(valid):
-                kmer_str = "".join(CODE2BASE_DNA[int(c)]
-                                   for c in fb.kmers[i + idx])
-                rows.append(format_call_row(fb.sampleinfo[i + idx],
-                                            p0[idx], p1[idx],
-                                            int(pred[idx]), kmer_str))
+            pending.append(
+                (i, j, self._run_fixed(kmer, means, stds, sanums, signals)))
+
+        all_pred = np.empty(n, dtype=np.int64)
+        all_p0 = np.empty(n, dtype=np.float32)
+        all_p1 = np.empty(n, dtype=np.float32)
+        kmer_strs = decode_kmer_strings(fb.kmers)
+        rows: list = []
+        for i, j, (p0, p1, pred) in pending:
+            valid = j - i
+            all_p0[i:j] = np.asarray(p0)[:valid]
+            all_p1[i:j] = np.asarray(p1)[:valid]
+            all_pred[i:j] = np.asarray(pred)[:valid]
+            for idx in range(i, j):
+                rows.append(format_call_row(fb.sampleinfo[idx],
+                                            all_p0[idx], all_p1[idx],
+                                            int(all_pred[idx]),
+                                            kmer_strs[idx]))
         return rows, all_pred, (all_p0, all_p1)
+
+
+_KMER_LUT = np.zeros(max(CODE2BASE_DNA) + 1, dtype=np.uint8)
+for _code, _base in CODE2BASE_DNA.items():
+    _KMER_LUT[_code] = ord(_base)
+
+
+def decode_kmer_strings(kmers: np.ndarray) -> list:
+    """Vectorized [N, K] code matrix -> list of K-char kmer strings."""
+    n, k = kmers.shape
+    flat = _KMER_LUT[kmers.astype(np.intp)].tobytes()
+    return [flat[i * k:(i + 1) * k].decode("ascii") for i in range(n)]
 
 
 def _pad(arr: np.ndarray, batch_size: int) -> np.ndarray:
