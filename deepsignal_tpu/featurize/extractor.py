@@ -40,20 +40,23 @@ class ReadFeatures:
     lens: np.ndarray           # [S, K] int64
     cent_signals: np.ndarray   # [S, cent_len] float64
     methy_label: int
+    is_dna: bool = True        # decode alphabet (U vs T) for kmer strings
 
     def __len__(self) -> int:
         return self.pos.shape[0]
 
     def to_tsv_rows(self) -> list:
         """Serialize with the exact reference row format
-        (extract_features.py:289-303)."""
+        (extract_features.py:289-303).  RNA reads decode code 3 back to 'U'
+        (the reference writes the raw event-base string, so U survives)."""
         rows = []
         for i in range(len(self)):
             rows.append(format_feature_row(
                 self.chrom, int(self.pos[i]), self.align_strand,
                 int(self.pos_in_strand[i]), self.readname, self.read_strand,
-                decode_seq(self.kmers[i]), self.means[i], self.stds[i],
-                self.lens[i], self.cent_signals[i], self.methy_label))
+                decode_seq(self.kmers[i], self.is_dna), self.means[i],
+                self.stds[i], self.lens[i], self.cent_signals[i],
+                self.methy_label))
         return rows
 
 
@@ -133,7 +136,8 @@ def extract_read_features(read: ResquiggledRead, motif_seqs: list,
         chrom=read.chrom, align_strand=read.align_strand,
         readname=read.read_id, read_strand=read.read_strand,
         pos=pos, pos_in_strand=pos_in_strand, kmers=kmers, means=means,
-        stds=stds, lens=lens, cent_signals=cent, methy_label=cfg.methy_label)
+        stds=stds, lens=lens, cent_signals=cent, methy_label=cfg.methy_label,
+        is_dna=cfg.is_dna)
 
 
 def extract_fast5_batch(fast5_paths: list, motif_seqs: list,

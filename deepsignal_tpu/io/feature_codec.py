@@ -19,12 +19,27 @@ from typing import Iterator, Optional
 
 import numpy as np
 
-from ..core.constants import BASE2CODE_DNA, CODE2BASE_DNA, encode_seq
+from ..core.constants import BASE2CODE_DNA
 
 try:  # optional native parser (deepsignal_tpu/native/fastparse.cpp)
     from .. import _fastparse as _native
 except ImportError:  # pragma: no cover - build-dependent
     _native = None
+
+# kmer-column encode LUT for TSV parsing.  Matches the native parser's
+# base_code(): A/C/G/T as the DNA codes, U as 3 (RNA kmers in feature files
+# written by RNA-mode extract), anything else N=4.  The alphabet is decided
+# at decode time (runtime.caller.decode_kmer_strings), so one combined
+# encode table serves both.
+_PARSE_CODE_LUT = np.full(256, BASE2CODE_DNA["N"], dtype=np.int32)
+for _b, _c in BASE2CODE_DNA.items():
+    _PARSE_CODE_LUT[ord(_b)] = _c
+_PARSE_CODE_LUT[ord("U")] = BASE2CODE_DNA["T"]
+
+
+def _encode_kmer_col(kmer: str) -> np.ndarray:
+    raw = np.frombuffer(kmer.encode("ascii", errors="replace"), dtype=np.uint8)
+    return _PARSE_CODE_LUT[raw]
 
 
 @dataclasses.dataclass
@@ -110,11 +125,11 @@ def parse_feature_lines(lines, kmer_len: Optional[int] = None,
     for line in lines:
         words = line.rstrip("\n").split("\t")
         sampleinfo.append("\t".join(words[0:6]))
-        kmers.append(encode_seq(words[6]))
-        means.append(np.fromstring(words[7], dtype=np.float32, sep=","))
-        stds.append(np.fromstring(words[8], dtype=np.float32, sep=","))
-        lens.append(np.fromstring(words[9], dtype=np.float32, sep=",").astype(np.int32))
-        signals.append(np.fromstring(words[10], dtype=np.float32, sep=","))
+        kmers.append(_encode_kmer_col(words[6]))
+        means.append(np.array(words[7].split(","), dtype=np.float32))
+        stds.append(np.array(words[8].split(","), dtype=np.float32))
+        lens.append(np.array(words[9].split(","), dtype=np.int32))
+        signals.append(np.array(words[10].split(","), dtype=np.float32))
         labels.append(int(words[11]))
     return FeatureBatch(
         sampleinfo=sampleinfo,

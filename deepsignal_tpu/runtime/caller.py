@@ -19,10 +19,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import ModelConfig
-from ..core.constants import CODE2BASE_DNA
+from ..core.constants import CODE2BASE_DNA, CODE2BASE_RNA
 from ..io.calls_codec import format_call_row
 from ..io.feature_codec import FeatureBatch
-from ..models.deepsignal import DeepSignalNet, normalized_probs, predictions
+from ..models.deepsignal import DeepSignalNet, predictions
 from ..parallel.mesh import batch_sharding, replicated
 
 
@@ -39,11 +39,16 @@ class ModCaller:
         def _infer(variables, kmer, means, stds, sanums, signals):
             logits = self.model.apply(variables, kmer, means, stds, sanums,
                                       signals, train=False)
-            p0, p1 = normalized_probs(logits)
+            # activation = sigmoid, NOT softmax (model.py:99-100); the
+            # prob_i / (prob_0 + prob_1) renormalization happens on the HOST
+            # in float32 numpy, exactly like the reference
+            # (call_modifications.py:185-187), so the formatted prob strings
+            # are byte-identical given identical sigmoid outputs.
+            act = jax.nn.sigmoid(logits)
             # inference model is built with default pos_weight=1.0
             # (call_modifications.py:203-205) -> argmax rule
             pred = predictions(logits, 1.0)
-            return p0, p1, pred
+            return act, pred
 
         if mesh is not None:
             data = batch_sharding(mesh)
@@ -51,7 +56,7 @@ class ModCaller:
             self._infer = jax.jit(
                 _infer,
                 in_shardings=(repl, data, data, data, data, data),
-                out_shardings=(data, data, data))
+                out_shardings=(data, data))
             self.variables = jax.device_put(variables, repl)
         else:
             self._infer = jax.jit(_infer)
@@ -60,12 +65,15 @@ class ModCaller:
     def _run_fixed(self, kmer, means, stds, sanums, signals):
         return self._infer(self.variables, kmer, means, stds, sanums, signals)
 
-    def call_feature_batch(self, fb: FeatureBatch):
+    def call_feature_batch(self, fb: FeatureBatch, is_dna: bool = True):
         """Score a FeatureBatch; returns (pred_rows, predictions, probs).
 
         Rows follow the exact 10-column output contract
         (call_modifications.py:184-190), in input order (the read-grouping
-        contract holds because input batches are read-grouped).
+        contract holds because input batches are read-grouped).  Prob strings
+        reproduce the reference's host chain byte-for-byte: float32 sigmoid
+        outputs renormalized with float32 numpy division and stringified as
+        np.float32 scalars (call_modifications.py:185-190).
 
         All device sub-batches are dispatched before any result is fetched:
         JAX async dispatch keeps the chip busy on sub-batch i+1 while the
@@ -87,12 +95,14 @@ class ModCaller:
         all_pred = np.empty(n, dtype=np.int64)
         all_p0 = np.empty(n, dtype=np.float32)
         all_p1 = np.empty(n, dtype=np.float32)
-        kmer_strs = decode_kmer_strings(fb.kmers)
+        kmer_strs = decode_kmer_strings(fb.kmers, is_dna)
         rows: list = []
-        for i, j, (p0, p1, pred) in pending:
+        for i, j, (act, pred) in pending:
             valid = j - i
-            all_p0[i:j] = np.asarray(p0)[:valid]
-            all_p1[i:j] = np.asarray(p1)[:valid]
+            act = np.asarray(act)[:valid]  # float32 [valid, 2] sigmoid
+            total = act[:, 0] + act[:, 1]
+            all_p0[i:j] = act[:, 0] / total
+            all_p1[i:j] = act[:, 1] / total
             all_pred[i:j] = np.asarray(pred)[:valid]
             for idx in range(i, j):
                 rows.append(format_call_row(fb.sampleinfo[idx],
@@ -102,15 +112,22 @@ class ModCaller:
         return rows, all_pred, (all_p0, all_p1)
 
 
-_KMER_LUT = np.zeros(max(CODE2BASE_DNA) + 1, dtype=np.uint8)
-for _code, _base in CODE2BASE_DNA.items():
-    _KMER_LUT[_code] = ord(_base)
+def _make_kmer_lut(code2base: dict) -> np.ndarray:
+    lut = np.zeros(max(code2base) + 1, dtype=np.uint8)
+    for code, base in code2base.items():
+        lut[code] = ord(base)
+    return lut
 
 
-def decode_kmer_strings(kmers: np.ndarray) -> list:
+_KMER_LUT_DNA = _make_kmer_lut(CODE2BASE_DNA)
+_KMER_LUT_RNA = _make_kmer_lut(CODE2BASE_RNA)
+
+
+def decode_kmer_strings(kmers: np.ndarray, is_dna: bool = True) -> list:
     """Vectorized [N, K] code matrix -> list of K-char kmer strings."""
     n, k = kmers.shape
-    flat = _KMER_LUT[kmers.astype(np.intp)].tobytes()
+    lut = _KMER_LUT_DNA if is_dna else _KMER_LUT_RNA
+    flat = lut[kmers.astype(np.intp)].tobytes()
     return [flat[i * k:(i + 1) * k].decode("ascii") for i in range(n)]
 
 
@@ -172,7 +189,9 @@ def run_call_mods(input_path: str, model_path: str, result_file: str,
     meter = ThroughputMeter("call_mods")
     with trace(profile_dir):
         count = call_mods_on_batches(caller, batches, result_file,
-                                     meter=meter)
+                                     meter=meter,
+                                     is_dna=getattr(feature_cfg, "is_dna",
+                                                    True))
     print(meter.line())
     print("call_mods costs %.2f seconds.." % (time.time() - start))
     return count
@@ -182,7 +201,7 @@ def call_mods_on_batches(caller: ModCaller,
                          batches: Iterable[FeatureBatch],
                          out_path: str,
                          flush_every: int = 1,
-                         meter=None) -> int:
+                         meter=None, is_dna: bool = True) -> int:
     """Serial driver: stream read-grouped FeatureBatches -> call TSV.
 
     Equivalent of the reference's reader->TF->writer process pipeline
@@ -192,7 +211,7 @@ def call_mods_on_batches(caller: ModCaller,
     count = 0
     with open(out_path, "w") as wf:
         for bi, fb in enumerate(batches):
-            rows, _, _ = caller.call_feature_batch(fb)
+            rows, _, _ = caller.call_feature_batch(fb, is_dna=is_dna)
             for r in rows:
                 wf.write(r + "\n")
             count += len(rows)

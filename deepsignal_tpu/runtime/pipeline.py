@@ -42,11 +42,18 @@ QUEUE_MAX_BATCHES = 100  # backpressure bound (vs reference's qsize polling)
 
 def _extract_worker(fast5s_q, out_q, errornum_q, cfg: FeatureConfig,
                     motif_seqs, chrom2len, positions, as_batch: bool,
-                    seed_base: int):
-    """Worker loop: fast5 path batches -> TSV rows or FeatureBatch."""
+                    seed_base: int, worker_id: int = 0):
+    """Worker loop: fast5 path batches -> TSV rows or FeatureBatch.
+
+    Streaming mode (``as_batch``) speaks a typed protocol on ``out_q`` —
+    ``("fb", batch_or_None, n_errors)`` per input batch and a final
+    ``("done", worker_id, n_processed)`` sentinel — so the consumer can
+    account for every submitted batch deterministically (no ``qsize``/
+    ``empty()`` polling, which mp queues document as unreliable)."""
     import random
     rng = (random.Random(seed_base + os.getpid())
            if cfg.central_sample_seed is not None else None)
+    processed = 0
     while True:
         item = fast5s_q.get()
         if item is None:
@@ -54,15 +61,17 @@ def _extract_worker(fast5s_q, out_q, errornum_q, cfg: FeatureConfig,
             break
         feats_list, errors = extract_fast5_batch(item, motif_seqs, cfg,
                                                  chrom2len, positions, rng)
-        errornum_q.put(errors)
         if as_batch:
             fb = read_features_to_batch(feats_list)
-            if fb is not None:
-                out_q.put(fb)
+            out_q.put(("fb", fb, errors))
         else:
+            errornum_q.put(errors)
             rows = [r for f in feats_list for r in f.to_tsv_rows()]
             out_q.put(rows)
+        processed += 1
         fast5s_q.task_done()
+    if as_batch:
+        out_q.put(("done", worker_id, processed))
 
 
 def _write_rows_file(write_fp: str, rows_q):
@@ -185,12 +194,23 @@ def stream_fast5_feature_batches(fast5_dir: str, cfg: FeatureConfig,
                                  nproc: int = 2, f5_batch_num: int = 50,
                                  position_file: Optional[str] = None,
                                  is_recursive: bool = True,
-                                 host_shard=None
+                                 host_shard=None,
+                                 stats: Optional[dict] = None
                                  ) -> Iterator[FeatureBatch]:
     """Featurize fast5s with a worker pool; yield FeatureBatches in the main
     process (which owns the TPU).  Mirrors _call_mods_from_fast5s_gpu's
     extractor fan-in (call_modifications.py:353-414).  ``host_shard=(k, n)``
-    restricts to this host's stride shard of the fast5 list."""
+    restricts to this host's stride shard of the fast5 list.
+
+    Shutdown is deterministic: every input batch is answered with one
+    ``("fb", ...)`` marker and every worker signs off with ``("done", ...)``
+    — the loop ends when all workers are accounted for, with no reliance on
+    ``Queue.empty()``.  A worker that dies without signing off is detected
+    via liveness (only ever checked after a get timeout) and its in-flight
+    batch is reported as lost rather than silently dropped.  Pass ``stats``
+    to receive {"errors", "lost_batches", "crashed_workers", "n_batches"}
+    and (while running) the worker process list under "workers".
+    """
     fast5_files, motif_seqs, chrom2len, positions = _preprocess(
         fast5_dir, cfg, reference_path, position_file, is_recursive,
         host_shard)
@@ -199,49 +219,78 @@ def stream_fast5_feature_batches(fast5_dir: str, cfg: FeatureConfig,
     ctx = mp.get_context("spawn")
     fast5s_q = ctx.JoinableQueue()
     batch_q = ctx.Queue(maxsize=QUEUE_MAX_BATCHES)
-    errornum_q = ctx.Queue()
 
+    n_batches = 0
     for i in range(0, len(fast5_files), f5_batch_num):
         fast5s_q.put(fast5_files[i:i + f5_batch_num])
+        n_batches += 1
     for _ in range(n_workers):
         fast5s_q.put(None)
 
     workers = []
     for w in range(n_workers):
         p = ctx.Process(target=_extract_worker,
-                        args=(fast5s_q, batch_q, errornum_q, cfg, motif_seqs,
-                              chrom2len, positions, True, 1000 * w),
+                        args=(fast5s_q, batch_q, None, cfg, motif_seqs,
+                              chrom2len, positions, True, 1000 * w, w),
                         daemon=True)
         p.start()
         workers.append(p)
+    if stats is not None:
+        stats["workers"] = workers
 
-    finished = 0
-    while True:
-        if finished == len(workers) and batch_q.empty():
-            # re-check liveness: all workers done and queue drained
-            if all(not p.is_alive() for p in workers):
-                try:
-                    fb = batch_q.get_nowait()
-                except queue_mod.Empty:
-                    break
-                yield fb
-                continue
+    pending = set(range(n_workers))
+    presumed_crashed: set = set()
+    received = 0
+    errornum_sum = 0
+
+    def _handle(item):
+        nonlocal received, errornum_sum
+        if item[0] == "done":
+            pending.discard(item[1])
+            presumed_crashed.discard(item[1])
+            return None
+        errornum_sum += item[2]
+        received += 1
+        return item[1]
+
+    while pending:
         try:
-            fb = batch_q.get(timeout=0.2)
+            item = batch_q.get(timeout=0.5)
         except queue_mod.Empty:
-            finished = sum(1 for p in workers if not p.is_alive())
+            for w in list(pending):
+                if not workers[w].is_alive():
+                    # no sign-off and process gone -> crashed (unless its
+                    # queued "done" is still in flight; reconciled in _handle)
+                    pending.discard(w)
+                    presumed_crashed.add(w)
             continue
-        yield fb
+        fb = _handle(item)
+        if fb is not None:
+            yield fb
+    # drain anything a just-finished worker enqueued before sign-off
+    while True:
+        try:
+            item = batch_q.get_nowait()
+        except queue_mod.Empty:
+            break
+        fb = _handle(item)
+        if fb is not None:
+            yield fb
 
     for p in workers:
         p.join()
-    errornum_sum = 0
-    while True:
-        try:
-            errornum_sum += errornum_q.get_nowait()
-        except queue_mod.Empty:
-            break
-    print("%d of %d fast5 files failed.." % (errornum_sum, len(fast5_files)))
+    lost = n_batches - received
+    if stats is not None:
+        stats.update(errors=errornum_sum, lost_batches=lost,
+                     crashed_workers=len(presumed_crashed),
+                     n_batches=n_batches)
+        stats.pop("workers", None)
+    msg = "%d of %d fast5 files failed.." % (errornum_sum, len(fast5_files))
+    if lost or presumed_crashed:
+        msg += ("  WARNING: %d worker(s) died mid-run; %d of %d file batches "
+                "lost (not scored)." % (len(presumed_crashed), lost,
+                                        n_batches))
+    print(msg)
 
 
 def _file_reader_proc(features_file: str, batch_q, reads_per_batch: int):

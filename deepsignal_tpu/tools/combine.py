@@ -12,14 +12,13 @@ from __future__ import annotations
 from typing import Iterable, Optional
 
 from ..core.constants import get_motif_seqs, motif_sites_in_seq
-from ..io.fasta import DNAReference
+from ..io.fasta import read_fasta
 
 
 def genome_motif_positions(ref_fp: str, motif: str = "CG", mod_loc: int = 0,
                            contig: str = "") -> set:
     """All (contig, fwd-pos) motif positions in the reference genome."""
-    refseq = DNAReference(ref_fp)
-    contigs = refseq.getcontigs()
+    contigs = read_fasta(ref_fp)
     poses = set()
     names = [contig] if contig else list(contigs.keys())
     motif_seqs = get_motif_seqs(motif)

@@ -8,6 +8,12 @@ accuracy.  Here a checkpoint is a directory containing:
 - ``config.json``      — the ModelConfig (so loaders don't guess shapes)
 - ``variables.msgpack`` — flax-serialized {params, batch_stats}
 - ``meta.json``        — epoch / metric bookkeeping (optional)
+
+Beyond the reference (SURVEY.md §5.4 target): ``save_train_state`` /
+``load_train_state`` persist the full training state — variables, optimizer
+state, model/data RNG, epoch counters — into a rolling ``train_state.ckpt``
+dir so an interrupted run resumes identically to an unbroken one (the
+reference restarts training from scratch every time).
 """
 
 from __future__ import annotations
@@ -94,6 +100,55 @@ def load_checkpoint(path: str,
     with open(os.path.join(path, "variables.msgpack"), "rb") as f:
         variables = flax.serialization.from_bytes(template, f.read())
     return loaded_cfg, variables
+
+
+TRAIN_STATE_DIRNAME = "train_state.ckpt"
+
+
+def save_train_state(model_dir: str, cfg: ModelConfig, variables, opt_state,
+                     rng, meta: dict) -> str:
+    """Write the rolling full-train-state checkpoint (atomic via tmp+rename).
+
+    ``meta`` must carry the loop bookkeeping (next_epoch, test_accu_best,
+    step, shuffle_state, ...) — everything json-serializable lives there;
+    array state (variables, opt_state, rng key) goes into msgpack blobs.
+    """
+    path = os.path.join(model_dir, TRAIN_STATE_DIRNAME)
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    save_checkpoint(tmp, cfg, variables, meta=meta)
+    state = {"opt_state": jax.device_get(opt_state),
+             "rng": jax.device_get(rng)}
+    with open(os.path.join(tmp, "train_state.msgpack"), "wb") as f:
+        f.write(flax.serialization.to_bytes(state))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return path
+
+
+def load_train_state(model_dir: str, opt_state_template, rng_template):
+    """Load (cfg, variables, opt_state, rng, meta) from the rolling
+    train-state checkpoint, or None when absent.  Templates supply the
+    pytree structure for msgpack deserialization (a fresh ``tx.init`` and
+    ``PRNGKey``)."""
+    path = os.path.join(model_dir, TRAIN_STATE_DIRNAME)
+    if not os.path.isdir(path):
+        return None
+    cfg, variables = load_checkpoint(path)
+    template = {"opt_state": opt_state_template, "rng": rng_template}
+    with open(os.path.join(path, "train_state.msgpack"), "rb") as f:
+        state = flax.serialization.from_bytes(template, f.read())
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return cfg, variables, state["opt_state"], state["rng"], meta
+
+
+def clear_train_state(model_dir: str) -> None:
+    path = os.path.join(model_dir, TRAIN_STATE_DIRNAME)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
 
 
 def latest_checkpoint(model_dir: str, kmer_len: int,

@@ -33,7 +33,8 @@ from ..core.config import ModelConfig, TrainConfig
 from ..models.deepsignal import (DeepSignalNet, init_model, predictions,
                                  weighted_ce_with_logits)
 from ..parallel.mesh import batch_sharding, replicated
-from .checkpoints import ckpt_name, clean_model_dir, save_checkpoint
+from .checkpoints import (ckpt_name, clean_model_dir, clear_train_state,
+                          load_train_state, save_checkpoint, save_train_state)
 from .data import open_dataset
 from .metrics import batch_metrics
 
@@ -165,6 +166,19 @@ class Trainer:
     def variables(self):
         return {"params": self.params, "batch_stats": self.batch_stats}
 
+    def _put(self, tree):
+        if self.mesh is not None:
+            return jax.device_put(tree, replicated(self.mesh))
+        return jax.device_put(tree)
+
+    def restore(self, variables, opt_state, rng) -> None:
+        """Restore full training state (params, BN stats, optimizer, RNG),
+        re-placed on the trainer's mesh/device."""
+        self.params = self._put(variables["params"])
+        self.batch_stats = self._put(variables.get("batch_stats", {}))
+        self.opt_state = self._put(opt_state)
+        self.rng = jnp.asarray(rng)
+
     def epoch_lr(self, epoch_id: int) -> float:
         """Single-step LR decay (train_model.py:123-126)."""
         if epoch_id in (0, 1):
@@ -175,43 +189,65 @@ class Trainer:
 def train(train_file: str, valid_file: str, model_dir: str,
           log_dir: Optional[str], model_cfg: ModelConfig,
           train_cfg: TrainConfig, is_binary: bool = False, mesh=None,
-          trainer: Optional[Trainer] = None) -> dict:
+          trainer: Optional[Trainer] = None, resume: bool = False) -> dict:
     """Full training driver with reference logging/checkpoint semantics.
 
-    Returns a summary dict {best_accuracy, epochs_run, model_path}.
+    ``resume=True`` continues from the rolling train-state checkpoint in
+    ``model_dir`` (params + optimizer state + RNG + shuffle stream + epoch
+    counters), reproducing an unbroken run exactly; falls back to a fresh
+    start when no state exists.  Returns a summary dict
+    {best_accuracy, epochs_run, model_path}.
     """
     train_start = time.time()
     tcfg = train_cfg
     mcfg = model_cfg
 
-    removed = clean_model_dir(model_dir, mcfg.kmer_len, mcfg.cent_signals_len)
-    if removed:
-        print(f"the previous model ({removed} files) in model_directory "
-              "deleted...")
-    if log_dir is not None:
-        os.makedirs(log_dir, exist_ok=True)
-        for name in (TRAIN_LOG, VALID_LOG):
-            p = os.path.join(log_dir, name)
-            if os.path.exists(p):
-                os.remove(p)
+    if trainer is None:
+        trainer = Trainer(mcfg, tcfg, mesh=mesh)
+    shuffle_rng = np.random.default_rng(tcfg.seed)
+
+    start_epoch = 0
+    test_accu_best = 0.0
+    best_path = None
+    epochs_run = 0
+
+    state = (load_train_state(model_dir, trainer.opt_state, trainer.rng)
+             if resume else None)
+    if state is not None:
+        _cfg, variables, opt_state, rng, meta = state
+        trainer.restore(variables, opt_state, rng)
+        start_epoch = int(meta["next_epoch"])
+        test_accu_best = float(meta["test_accu_best"])
+        best_path = meta.get("best_path")
+        epochs_run = int(meta.get("epochs_run", start_epoch))
+        shuffle_rng.bit_generator.state = meta["shuffle_state"]
+        print(f"resuming training from epoch {start_epoch} "
+              f"(best accuracy so far: {test_accu_best:.3f})")
+    else:
+        removed = clean_model_dir(model_dir, mcfg.kmer_len,
+                                  mcfg.cent_signals_len)
+        clear_train_state(model_dir)
+        if removed:
+            print(f"the previous model ({removed} files) in model_directory "
+                  "deleted...")
+        if log_dir is not None:
+            os.makedirs(log_dir, exist_ok=True)
+            for name in (TRAIN_LOG, VALID_LOG):
+                p = os.path.join(log_dir, name)
+                if os.path.exists(p):
+                    os.remove(p)
 
     train_ds = open_dataset(train_file, is_binary, mcfg.kmer_len,
                             mcfg.cent_signals_len)
     valid_ds = open_dataset(valid_file, is_binary, mcfg.kmer_len,
                             mcfg.cent_signals_len)
 
-    if trainer is None:
-        trainer = Trainer(mcfg, tcfg, mesh=mesh)
-    shuffle_rng = np.random.default_rng(tcfg.seed)
-
-    test_accu_best = 0.0
-    best_path = None
-    epochs_run = 0
-    for epoch_id in range(tcfg.max_epoch_num):
+    for epoch_id in range(start_epoch, tcfg.max_epoch_num):
         start = time.time()
         lr = trainer.epoch_lr(epoch_id)
         tr_loss, tr_acc, tr_rec, tr_prec = [], [], [], []
         test_accu_best_ep = 0.0
+        sweeps_run = 0
         iter_id = 0
         for batch in train_ds.batches(tcfg.batch_size,
                                       shuffle_rng=shuffle_rng):
@@ -235,6 +271,7 @@ def train(train_file: str, valid_file: str, model_dir: str,
                                    np.mean(tr_prec)))
                 va_loss, va_acc, va_rec, va_prec = _validate(
                     trainer, valid_ds, tcfg, mcfg)
+                sweeps_run += 1
                 if log_dir is not None:
                     with open(os.path.join(log_dir, VALID_LOG), "a") as f:
                         f.write("epoch:%d, iterid:%d, loss:%.3f, "
@@ -264,9 +301,12 @@ def train(train_file: str, valid_file: str, model_dir: str,
                 tr_loss, tr_acc, tr_rec, tr_prec = [], [], [], []
                 start = time.time()
 
-        # epoch-final validation for the improvement check even when the
-        # epoch had < display_step iterations
-        if test_accu_best_ep == 0.0:
+        # The reference's improvement check uses only display-step sweeps
+        # (train_model.py:270-284) — an epoch with < display_step iterations
+        # would never validate or checkpoint.  Deliberate deviation: when NO
+        # sweep fired this epoch, run one epoch-final validation so short
+        # datasets still drive checkpointing/early-stop.
+        if sweeps_run == 0:
             _, test_accu_best_ep, _, _ = _validate(trainer, valid_ds, tcfg,
                                                    mcfg)
             if test_accu_best_ep > test_accu_best:
@@ -284,6 +324,13 @@ def train(train_file: str, valid_file: str, model_dir: str,
                          "best accuracy: %.3f\n"
                          % (epoch_id, test_accu_best_ep, test_accu_best))
         sys.stdout.flush()
+        save_train_state(
+            model_dir, mcfg, trainer.variables, trainer.opt_state,
+            trainer.rng,
+            meta={"next_epoch": epoch_id + 1,
+                  "test_accu_best": test_accu_best,
+                  "best_path": best_path, "epochs_run": epochs_run,
+                  "shuffle_state": shuffle_rng.bit_generator.state})
         if not improved and epoch_id >= tcfg.min_epoch_num - 1:
             break
 

@@ -122,6 +122,42 @@ def test_train_end_to_end(tmp_path, rng):
     assert cfg2.kmer_len == K
 
 
+def test_resume_matches_unbroken_run(tmp_path, rng):
+    """Interrupting after epoch 0 and resuming must reproduce an unbroken
+    3-epoch run exactly (optimizer state + RNG + shuffle stream restored)."""
+    train_f = tmp_path / "train.tsv"
+    valid_f = tmp_path / "valid.tsv"
+    train_f.write_text("\n".join(_fea_rows(rng, 64)) + "\n")
+    valid_f.write_text("\n".join(_fea_rows(rng, 16)) + "\n")
+    mcfg = ModelConfig(**TINY)
+
+    def tcfg(max_epochs):
+        return TrainConfig(batch_size=16, learning_rate=0.005,
+                           max_epoch_num=max_epochs, min_epoch_num=3,
+                           display_step=2, seed=7)
+
+    dir_a = str(tmp_path / "unbroken")
+    sum_a = train(str(train_f), str(valid_f), dir_a, None, mcfg, tcfg(3))
+    dir_b = str(tmp_path / "resumed")
+    train(str(train_f), str(valid_f), dir_b, None, mcfg, tcfg(1))
+    sum_b = train(str(train_f), str(valid_f), dir_b, None, mcfg, tcfg(3),
+                  resume=True)
+
+    assert sum_b["epochs_run"] == sum_a["epochs_run"] == 3
+    assert sum_b["best_accuracy"] == sum_a["best_accuracy"]
+    blob_a = open(os.path.join(dir_a, "train_state.ckpt",
+                               "variables.msgpack"), "rb").read()
+    blob_b = open(os.path.join(dir_b, "train_state.ckpt",
+                               "variables.msgpack"), "rb").read()
+    assert blob_a == blob_b  # bit-identical params + BN stats
+    # opt state too (Adam moments + step counter)
+    st_a = open(os.path.join(dir_a, "train_state.ckpt",
+                             "train_state.msgpack"), "rb").read()
+    st_b = open(os.path.join(dir_b, "train_state.ckpt",
+                             "train_state.msgpack"), "rb").read()
+    assert st_a == st_b
+
+
 def test_train_binary_input(tmp_path, rng):
     rows = _fea_rows(rng, 40)
     txt = tmp_path / "t.tsv"
