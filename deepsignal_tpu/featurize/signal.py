@@ -39,7 +39,10 @@ def normalize_signals(signals: np.ndarray,
         sshift, sscale = np.mean(signals), float(np.std(signals))
     elif normalize_method == "mad":
         med = np.median(signals)
-        sshift, sscale = med, float(np.median(np.abs(signals - med)) / MAD_SCALE)
+        # statsmodels.robust.mad divides elementwise by c BEFORE taking the
+        # median; mirror that op order for bit-exact parity
+        sshift = med
+        sscale = float(np.median(np.abs(signals - med) / MAD_SCALE))
     else:
         raise ValueError("normalize_method must be 'mad' or 'zscore'")
     norm = (signals - sshift) / sscale
@@ -50,37 +53,33 @@ def segment_stats(norm_signals: np.ndarray, starts: np.ndarray,
                   lengths: np.ndarray):
     """Per-event mean/std over ``norm_signals[starts[i] : starts[i]+lengths[i]]``.
 
-    Vectorized with ``np.add.reduceat`` (O(N) in total signal length) —
-    replaces the per-site Python loops of extract_features.py:273-274.
-    Returns (means, stds) float64 arrays of shape [num_events].
+    Vectorized replacement for the per-site Python loops of
+    extract_features.py:273-274.  Returns (means, stds) float64 arrays of
+    shape [num_events].
 
-    Note on determinism: the reference calls np.mean/np.std per slice (pairwise
-    summation); reduceat sums sequentially.  Differences are O(eps * seg_len)
-    — far below the 1e-6 rounding applied before output.
+    Bit-exactness: the reference calls ``np.mean``/``np.std`` on each 1-D
+    slice, which numpy reduces with *pairwise* summation.  A sequential
+    reduceat sum differs in the last ulp often enough to flip the 6-decimal
+    output rounding (~0.06% of values).  Instead we group segments by length,
+    gather each group into a C-contiguous [m, L] matrix, and reduce along the
+    last axis — numpy applies the identical pairwise routine per row, so the
+    results are bit-identical to the reference's per-slice calls while
+    remaining one vectorized op per distinct length.
     """
     starts = np.asarray(starts, dtype=np.int64)
     lengths = np.asarray(lengths, dtype=np.int64)
     n = norm_signals.shape[0]
-    ends = starts + lengths
     if lengths.min(initial=1) <= 0:
         raise ValueError("all event lengths must be positive")
-    if ends.max(initial=0) > n:
+    if (starts + lengths).max(initial=0) > n:
         raise ValueError("event extends past end of signal")
 
-    # reduceat over interleaved [start, end) boundaries: even entries are the
-    # per-segment sums.  reduceat needs indices < n; an end index == n is
-    # handled by summing a trailing dummy and masking (we append a zero).
-    sig = np.concatenate([norm_signals, np.zeros(1, dtype=norm_signals.dtype)])
-    sig2 = sig * sig
-    bounds = np.empty(starts.shape[0] * 2, dtype=np.int64)
-    bounds[0::2] = starts
-    bounds[1::2] = ends
-    # indices passed to reduceat must be strictly within the array
-    seg_sums = np.add.reduceat(sig, bounds)[0::2]
-    seg_sums2 = np.add.reduceat(sig2, bounds)[0::2]
-    # a bound pair (s, e) with e == len(sig)-1 sums sig[s:e]; pairs where
-    # e == s would mis-sum but lengths are validated positive above.
-    means = seg_sums / lengths
-    variances = seg_sums2 / lengths - means * means
-    stds = np.sqrt(np.maximum(variances, 0.0))
+    norm_signals = np.ascontiguousarray(norm_signals, dtype=np.float64)
+    means = np.empty(starts.shape[0], dtype=np.float64)
+    stds = np.empty(starts.shape[0], dtype=np.float64)
+    for seg_len in np.unique(lengths):
+        idx = np.nonzero(lengths == seg_len)[0]
+        rows = norm_signals[starts[idx][:, None] + np.arange(seg_len)]
+        means[idx] = rows.mean(axis=1)
+        stds[idx] = rows.std(axis=1)
     return means, stds
