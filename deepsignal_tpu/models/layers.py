@@ -90,6 +90,52 @@ class BiLSTMEncoder(nn.Module):
         return jnp.concatenate([fw_out[:, -1, :], bw_out[:, 0, :]], axis=1)
 
 
+class TFBatchNorm(nn.Module):
+    """Batch norm with ``tf.contrib.layers.batch_norm`` semantics
+    (decay 0.9, eps 1e-3, center+scale; reference layers.py:80-84).
+
+    Differs from ``nn.BatchNorm`` in one load-bearing way: all math runs in
+    the INPUT dtype (running stats promoted first), whereas flax computes
+    ``rsqrt(var + eps)`` on the float32 stats before promotion — capping BN
+    at float32 precision and breaking float64 parity harnesses.  Stats are
+    stored float32 (storage contract unchanged); the tree names mirror
+    flax's (``BatchNorm_0/{scale,bias}`` + ``batch_stats/.../{mean,var}``)
+    so checkpoints and the TF1 importer are unaffected.  The reference's
+    ``zero_debias_moving_mean`` only reshapes moving-stat warm-up, not
+    converged statistics; intentionally not replicated.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x, *, use_running_average: bool):
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((features,), jnp.float32))
+        if use_running_average:
+            mean = ra_mean.value.astype(x.dtype)
+            var = ra_var.value.astype(x.dtype)
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=axes)
+            # population (biased) variance, like tf.nn.moments
+            var = jnp.mean(jnp.square(x - mean.astype(x.dtype)), axis=axes)
+            if not self.is_initializing():
+                m = jnp.asarray(self.momentum, jnp.float32)
+                ra_mean.value = (m * ra_mean.value
+                                 + (1.0 - m) * mean.astype(jnp.float32))
+                ra_var.value = (m * ra_var.value
+                                + (1.0 - m) * var.astype(jnp.float32))
+        inv = jax.lax.rsqrt(var + jnp.asarray(self.epsilon, x.dtype))
+        y = (x - mean) * (inv * scale.astype(x.dtype))
+        return y + bias.astype(x.dtype)
+
+
 class ConvBNRelu(nn.Module):
     """conv(no bias) -> BN -> relu, the repeated motif of incept_net."""
 
@@ -102,8 +148,7 @@ class ConvBNRelu(nn.Module):
     def __call__(self, x, *, train: bool):
         x = nn.Conv(self.features, kernel_size=(self.kernel,),
                     strides=(self.stride,), padding="SAME", use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-3)(x)
+        x = TFBatchNorm(name="BatchNorm_0")(x, use_running_average=not train)
         return nn.relu(x) if self.use_relu else x
 
 

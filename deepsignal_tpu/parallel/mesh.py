@@ -27,9 +27,16 @@ MODEL_AXIS = "model"
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              model_parallel: int = 1) -> Mesh:
-    """Build a (data, model) mesh over the first ``n_devices`` devices."""
-    devices = jax.devices()
+              model_parallel: int = 1, local: bool = False) -> Mesh:
+    """Build a (data, model) mesh over the first ``n_devices`` devices.
+
+    ``local=True`` restricts the mesh to THIS process's addressable devices.
+    Inference has zero cross-host data dependencies, so each host runs its
+    own local mesh (embarrassingly parallel over read shards — no lockstep
+    batch-count requirement between hosts); training uses the default global
+    mesh, where XLA psums gradients over ICI/DCN.
+    """
+    devices = jax.local_devices() if local else jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
@@ -38,6 +45,54 @@ def make_mesh(n_devices: Optional[int] = None,
                          f"{model_parallel}")
     grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def mesh_is_multiprocess(mesh: Mesh) -> bool:
+    """True when the mesh spans devices owned by more than one process."""
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
+def put_batch(tree, sharding: NamedSharding):
+    """Host-local numpy batch -> global arrays sharded on the batch axis.
+
+    Single-process meshes: a plain ``device_put``.  Multi-process meshes:
+    every process contributes its LOCAL block via
+    ``jax.make_array_from_process_local_data`` — the global batch dimension
+    is the concatenation of per-host locals, so each host feeds host-local
+    numpy and jit sees one consistent global array (the round-trip partner
+    is ``host_local_rows``).  This is the piece plain device_put cannot do
+    under ``jax.distributed``: a jit over a global mesh rejects host-local
+    arrays with global in_shardings.
+    """
+    if not mesh_is_multiprocess(sharding.mesh):
+        return jax.device_put(tree, sharding)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), tree)
+
+
+def put_replicated(tree, mesh: Mesh):
+    """Replicate host-identical values over a (possibly multi-process) mesh.
+
+    Caller contract: every process passes bit-identical data (deterministic
+    init seeds / checkpoint loads guarantee this)."""
+    repl = replicated(mesh)
+    if not mesh_is_multiprocess(mesh):
+        return jax.device_put(tree, repl)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            repl, np.asarray(x)), tree)
+
+
+def host_local_rows(arr) -> np.ndarray:
+    """This process's rows of a batch-sharded global array, in the local
+    input order ``put_batch`` used (addressable shards sorted by global
+    offset)."""
+    if arr.is_fully_addressable:
+        return np.asarray(arr)
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -58,11 +58,21 @@ class ModCaller:
                 in_shardings=(repl, data, data, data, data, data),
                 out_shardings=(data, data))
             self.variables = jax.device_put(variables, repl)
+            self._data = data
         else:
             self._infer = jax.jit(_infer)
             self.variables = jax.device_put(variables)
+            self._data = None
 
     def _run_fixed(self, kmer, means, stds, sanums, signals):
+        if self._data is not None:
+            # Explicit h2d onto the batch sharding: a host-LOCAL mesh is
+            # fully addressable so this works even under jax.distributed
+            # (where jit itself rejects numpy inputs with non-replicated
+            # shardings), and it starts the transfer before dispatch.
+            kmer, means, stds, sanums, signals = jax.device_put(
+                (kmer, means, stds, sanums, signals),
+                (self._data,) * 5)
         return self._infer(self.variables, kmer, means, stds, sanums, signals)
 
     def call_feature_batch(self, fb: FeatureBatch, is_dna: bool = True):
@@ -170,7 +180,12 @@ def run_call_mods(input_path: str, model_path: str, result_file: str,
     start = time.time()
     cfg, variables = load_checkpoint(os.path.abspath(model_path),
                                      cfg=model_cfg_override)
-    mesh = make_mesh() if use_mesh else None
+    # Host-LOCAL mesh: inference has zero cross-host data dependencies, so
+    # each host runs its own mesh over its addressable chips on its own read
+    # shard (no lockstep batch-count requirement between hosts, no
+    # make_array_from_process_local_data on the hot path).  Training is the
+    # opposite: a global mesh with psum'd gradients (train/trainer.py).
+    mesh = make_mesh(local=True) if use_mesh else None
     caller = ModCaller(cfg, variables, batch_size=batch_size, mesh=mesh)
 
     n_hosts = jax.process_count()

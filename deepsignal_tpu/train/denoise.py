@@ -53,7 +53,7 @@ def train_1time(train_file: str, valid_file: str, valid_lidxs: list,
         for batch in train_ds.batches(tcfg.batch_size,
                                       shuffle_rng=shuffle_rng):
             labels = np.asarray(batch["labels"])
-            loss, preds, valid = trainer.train_on_batch(batch, lr)
+            loss, _counts, preds, valid = trainer.train_on_batch(batch, lr)
             iter_id += 1
             if iter_id % dcfg.step_interval == 0:
                 accu = float(np.mean(labels[:valid] == preds))
@@ -72,7 +72,7 @@ def train_1time(train_file: str, valid_file: str, valid_lidxs: list,
     idx2prob: dict = {}
     cnt = 0
     for batch in valid_ds.batches(dcfg.batch_size):
-        _loss, _preds, probs1, valid = trainer.eval_on_batch(batch)
+        _loss, _counts, _preds, probs1, valid = trainer.eval_on_batch(batch)
         for p in probs1[:valid]:
             idx2prob[valid_lidxs[cnt]] = float(p)
             cnt += 1

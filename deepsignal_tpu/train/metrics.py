@@ -39,3 +39,20 @@ def batch_metrics(y_true, y_pred, class_num: int = 2):
             binary_precision(y_true, y_pred)
     # micro average over all classes == accuracy
     return acc, acc, acc
+
+
+# Device-side metric counts (multi-host safe): the jitted steps reduce
+# [valid, correct, tp, fp, fn] over the GLOBAL batch (XLA psums across the
+# data axis), so every host derives identical metrics — and therefore makes
+# identical checkpoint/early-stop decisions, keeping collective calls in
+# lockstep.  Derivations below reproduce the sklearn semantics above exactly.
+
+def counts_to_metrics(counts, class_num: int = 2):
+    """(accuracy, recall, precision) from [valid, correct, tp, fp, fn]."""
+    valid, correct, tp, fp, fn = (int(c) for c in counts)
+    acc = correct / valid if valid > 0 else 0.0
+    if class_num == 2:
+        rec = tp / (tp + fn) if (tp + fn) > 0 else 0.0
+        prec = tp / (tp + fp) if (tp + fp) > 0 else 0.0
+        return acc, rec, prec
+    return acc, acc, acc

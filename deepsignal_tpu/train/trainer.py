@@ -32,11 +32,13 @@ import optax
 from ..core.config import ModelConfig, TrainConfig
 from ..models.deepsignal import (DeepSignalNet, init_model, predictions,
                                  weighted_ce_with_logits)
-from ..parallel.mesh import batch_sharding, replicated
+from ..parallel.mesh import (batch_sharding, mesh_is_multiprocess,
+                             param_shardings, put_batch, put_replicated,
+                             replicated)
 from .checkpoints import (ckpt_name, clean_model_dir, clear_train_state,
                           load_train_state, save_checkpoint, save_train_state)
 from .data import open_dataset
-from .metrics import batch_metrics
+from .metrics import counts_to_metrics
 
 TRAIN_LOG = "train.txt"
 VALID_LOG = "valid.txt"
@@ -57,6 +59,24 @@ def masked_mean_loss(logits, labels, valid_mask, class_num: int,
                                    pos_weight)
     w = valid_mask.astype(loss.dtype)
     return jnp.sum(loss * w) / jnp.sum(w)
+
+
+def metric_counts(preds, labels, valid_mask):
+    """Device-side [valid, correct, tp, fp, fn] over the global batch.
+
+    Summing a batch-sharded boolean across the data axis makes XLA insert
+    the psum, so the result is replicated and identical on every host (the
+    multi-host lockstep requirement — see metrics.counts_to_metrics)."""
+    m = valid_mask > 0
+    pos_t = labels == 1
+    pos_p = preds == 1
+    return jnp.stack([
+        jnp.sum(m.astype(jnp.int32)),
+        jnp.sum(((preds == labels) & m).astype(jnp.int32)),
+        jnp.sum((pos_t & pos_p & m).astype(jnp.int32)),
+        jnp.sum((~pos_t & pos_p & m).astype(jnp.int32)),
+        jnp.sum((pos_t & ~pos_p & m).astype(jnp.int32)),
+    ])
 
 
 class Trainer:
@@ -104,7 +124,8 @@ class Trainer:
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             preds = predictions(logits, tcfg.pos_weight)
-            return params, new_bs, opt_state, loss, preds
+            counts = metric_counts(preds, batch["labels"], valid_mask)
+            return params, new_bs, opt_state, loss, counts, preds
 
         def eval_step(params, batch_stats, batch, valid_mask):
             logits = model.apply(
@@ -114,25 +135,49 @@ class Trainer:
             loss = masked_mean_loss(logits, batch["labels"], valid_mask,
                                     mcfg.class_num, tcfg.pos_weight)
             probs1 = jax.nn.sigmoid(logits[:, 1])
-            return loss, predictions(logits, tcfg.pos_weight), probs1
+            preds = predictions(logits, tcfg.pos_weight)
+            counts = metric_counts(preds, batch["labels"], valid_mask)
+            return loss, counts, preds, probs1
 
+        self._multiproc = mesh is not None and mesh_is_multiprocess(mesh)
+        self._p_shard = None
         if mesh is not None:
             data = batch_sharding(mesh)
             repl = replicated(mesh)
             batch_shard = {k: data for k in ("kmer", "means", "stds",
                                              "sanums", "signals", "labels")}
+            if self._multiproc:
+                # Multi-host: dp only — params fully replicated so every
+                # host can contribute them via put_replicated.
+                p_shard = jax.tree.map(lambda _: repl, self.params)
+                self.params = put_replicated(self.params, mesh)
+                self.batch_stats = put_replicated(self.batch_stats, mesh)
+                self.opt_state = put_replicated(self.opt_state, mesh)
+            else:
+                # Single-process mesh: dp + optional tp (joint-head kernels
+                # sharded over the model axis when the mesh has one).
+                p_shard = param_shardings(mesh, self.params)
+                self.params = jax.device_put(self.params, p_shard)
+                self.batch_stats = jax.device_put(self.batch_stats, repl)
+                # jitted init propagates the param shardings onto the
+                # mirrored adam mu/nu trees
+                self.opt_state = jax.jit(tx.init)(self.params)
+            self._p_shard = p_shard
+            # Host-read outputs replicated: preds/probs are batch-sharded
+            # when computed, so XLA inserts one all_gather of [B] scalars —
+            # negligible, and it makes every host see the GLOBAL batch's
+            # results (the multi-host lockstep requirement).  Optimizer-state
+            # shardings are inferred from the passed-in state (None entries).
             self._train_step = jax.jit(
                 train_step,
-                in_shardings=(repl, repl, repl, batch_shard, data, repl, repl),
-                out_shardings=(repl, repl, repl, repl, data),
+                in_shardings=(p_shard, repl, None, batch_shard, data, repl,
+                              repl),
+                out_shardings=(p_shard, repl, None, repl, repl, repl),
                 donate_argnums=(0, 1, 2))
             self._eval_step = jax.jit(
                 eval_step,
-                in_shardings=(repl, repl, batch_shard, data),
-                out_shardings=(repl, data, data))
-            self.params = jax.device_put(self.params, repl)
-            self.batch_stats = jax.device_put(self.batch_stats, repl)
-            self.opt_state = jax.device_put(self.opt_state, repl)
+                in_shardings=(p_shard, repl, batch_shard, data),
+                out_shardings=(repl, repl, repl, repl))
         else:
             self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
             self._eval_step = jax.jit(eval_step)
@@ -140,27 +185,61 @@ class Trainer:
     # -- step wrappers ------------------------------------------------------
 
     def _device_batch(self, batch):
+        """Global host batch -> jit-ready (batch, mask, valid).
+
+        Every process sees the SAME global batch (shared train file + same
+        shuffle seed).  Single-process: feed it straight to jit.
+        Multi-process: each process slices its contiguous block of rows and
+        contributes it via ``put_batch`` (jax.make_array_from_process_local_
+        data) — a jit over a global mesh rejects host-local numpy with
+        global in_shardings.  Contiguous blocks (not stride) keep the padded
+        tail at the end of the reassembled global array, so ``[:valid]``
+        slicing of gathered outputs stays correct.
+        """
         valid = batch.pop("__valid__") if "__valid__" in batch else \
             batch["labels"].shape[0]
-        mask = np.zeros(batch["labels"].shape[0], dtype=np.float32)
+        n = batch["labels"].shape[0]
+        mask = np.zeros(n, dtype=np.float32)
         mask[:valid] = 1.0
-        return batch, mask, valid
+        if not self._multiproc:
+            return batch, mask, valid
+        nproc = jax.process_count()
+        if n % nproc:
+            raise ValueError(f"global batch {n} not divisible by "
+                             f"{nproc} processes")
+        bl = n // nproc
+        lo = jax.process_index() * bl
+        local = {k: v[lo:lo + bl] for k, v in batch.items()}
+        data = batch_sharding(self.mesh)
+        return (put_batch(local, data), put_batch(mask[lo:lo + bl], data),
+                valid)
+
+    def _repl(self, x):
+        """Per-call replicated scalars (lr, dropout key): identical on every
+        process by construction (same seed / same schedule)."""
+        if not self._multiproc:
+            return x
+        return put_replicated(np.asarray(x), self.mesh)
 
     def train_on_batch(self, batch, lr: float):
+        """Returns (loss, counts, preds[:valid], valid) for the GLOBAL batch;
+        identical on every host."""
         batch, mask, valid = self._device_batch(dict(batch))
         self.rng, drop = jax.random.split(self.rng)
-        (self.params, self.batch_stats, self.opt_state, loss,
+        (self.params, self.batch_stats, self.opt_state, loss, counts,
          preds) = self._train_step(self.params, self.batch_stats,
-                                   self.opt_state, batch, mask, drop,
-                                   jnp.float32(lr))
-        return float(loss), np.asarray(preds)[:valid], valid
+                                   self.opt_state, batch, mask,
+                                   self._repl(drop),
+                                   self._repl(jnp.float32(lr)))
+        return (float(loss), np.asarray(counts), np.asarray(preds)[:valid],
+                valid)
 
     def eval_on_batch(self, batch):
         batch, mask, valid = self._device_batch(dict(batch))
-        loss, preds, probs1 = self._eval_step(self.params, self.batch_stats,
-                                              batch, mask)
-        return float(loss), np.asarray(preds)[:valid], \
-            np.asarray(probs1)[:valid], valid
+        loss, counts, preds, probs1 = self._eval_step(
+            self.params, self.batch_stats, batch, mask)
+        return (float(loss), np.asarray(counts), np.asarray(preds)[:valid],
+                np.asarray(probs1)[:valid], valid)
 
     @property
     def variables(self):
@@ -168,13 +247,16 @@ class Trainer:
 
     def _put(self, tree):
         if self.mesh is not None:
-            return jax.device_put(tree, replicated(self.mesh))
+            return put_replicated(tree, self.mesh)
         return jax.device_put(tree)
 
     def restore(self, variables, opt_state, rng) -> None:
         """Restore full training state (params, BN stats, optimizer, RNG),
         re-placed on the trainer's mesh/device."""
-        self.params = self._put(variables["params"])
+        if self.mesh is not None and not self._multiproc:
+            self.params = jax.device_put(variables["params"], self._p_shard)
+        else:
+            self.params = self._put(variables["params"])
         self.batch_stats = self._put(variables.get("batch_stats", {}))
         self.opt_state = self._put(opt_state)
         self.rng = jnp.asarray(rng)
@@ -205,6 +287,10 @@ def train(train_file: str, valid_file: str, model_dir: str,
     if trainer is None:
         trainer = Trainer(mcfg, tcfg, mesh=mesh)
     shuffle_rng = np.random.default_rng(tcfg.seed)
+    # Multi-host: every process computes identical (replicated) metrics and
+    # therefore identical checkpoint/early-stop decisions; only process 0
+    # touches the shared filesystem.
+    is_lead = jax.process_index() == 0
 
     start_epoch = 0
     test_accu_best = 0.0
@@ -223,7 +309,7 @@ def train(train_file: str, valid_file: str, model_dir: str,
         shuffle_rng.bit_generator.state = meta["shuffle_state"]
         print(f"resuming training from epoch {start_epoch} "
               f"(best accuracy so far: {test_accu_best:.3f})")
-    else:
+    elif is_lead:
         removed = clean_model_dir(model_dir, mcfg.kmer_len,
                                   mcfg.cent_signals_len)
         clear_train_state(model_dir)
@@ -251,10 +337,8 @@ def train(train_file: str, valid_file: str, model_dir: str,
         iter_id = 0
         for batch in train_ds.batches(tcfg.batch_size,
                                       shuffle_rng=shuffle_rng):
-            labels = np.asarray(batch["labels"])
-            loss, preds, valid = trainer.train_on_batch(batch, lr)
-            acc, rec, prec = batch_metrics(labels[:valid], preds,
-                                           mcfg.class_num)
+            loss, counts, _preds, _valid = trainer.train_on_batch(batch, lr)
+            acc, rec, prec = counts_to_metrics(counts, mcfg.class_num)
             tr_loss.append(loss)
             tr_acc.append(acc)
             tr_rec.append(rec)
@@ -262,7 +346,7 @@ def train(train_file: str, valid_file: str, model_dir: str,
             iter_id += 1
 
             if iter_id % tcfg.display_step == 0:
-                if log_dir is not None:
+                if log_dir is not None and is_lead:
                     with open(os.path.join(log_dir, TRAIN_LOG), "a") as f:
                         f.write("epoch:%d, iterid:%d, loss:%.3f, "
                                 "accuracy:%.3f, recall:%.3f, precision:%.3f\n"
@@ -272,7 +356,7 @@ def train(train_file: str, valid_file: str, model_dir: str,
                 va_loss, va_acc, va_rec, va_prec = _validate(
                     trainer, valid_ds, tcfg, mcfg)
                 sweeps_run += 1
-                if log_dir is not None:
+                if log_dir is not None and is_lead:
                     with open(os.path.join(log_dir, VALID_LOG), "a") as f:
                         f.write("epoch:%d, iterid:%d, loss:%.3f, "
                                 "accuracy:%.3f, recall:%.3f, precision:%.3f\n"
@@ -285,10 +369,12 @@ def train(train_file: str, valid_file: str, model_dir: str,
                             model_dir, ckpt_name(mcfg.kmer_len,
                                                  mcfg.cent_signals_len,
                                                  epoch_id))
-                        save_checkpoint(best_path, mcfg, trainer.variables,
-                                        meta={"epoch": epoch_id,
-                                              "iter": iter_id,
-                                              "valid_accuracy": va_acc})
+                        if is_lead:
+                            save_checkpoint(best_path, mcfg,
+                                            trainer.variables,
+                                            meta={"epoch": epoch_id,
+                                                  "iter": iter_id,
+                                                  "valid_accuracy": va_acc})
                 end = time.time()
                 sys.stdout.write(
                     "epoch: %d, iterid: %d\n train_loss: %.3f, valid_loss: "
@@ -313,9 +399,11 @@ def train(train_file: str, valid_file: str, model_dir: str,
                 best_path = os.path.join(
                     model_dir, ckpt_name(mcfg.kmer_len, mcfg.cent_signals_len,
                                          epoch_id))
-                save_checkpoint(best_path, mcfg, trainer.variables,
-                                meta={"epoch": epoch_id,
-                                      "valid_accuracy": test_accu_best_ep})
+                if is_lead:
+                    save_checkpoint(best_path, mcfg, trainer.variables,
+                                    meta={"epoch": epoch_id,
+                                          "valid_accuracy":
+                                              test_accu_best_ep})
         epochs_run = epoch_id + 1
         improved = test_accu_best_ep > test_accu_best
         if improved:
@@ -324,13 +412,14 @@ def train(train_file: str, valid_file: str, model_dir: str,
                          "best accuracy: %.3f\n"
                          % (epoch_id, test_accu_best_ep, test_accu_best))
         sys.stdout.flush()
-        save_train_state(
-            model_dir, mcfg, trainer.variables, trainer.opt_state,
-            trainer.rng,
-            meta={"next_epoch": epoch_id + 1,
-                  "test_accu_best": test_accu_best,
-                  "best_path": best_path, "epochs_run": epochs_run,
-                  "shuffle_state": shuffle_rng.bit_generator.state})
+        if is_lead:
+            save_train_state(
+                model_dir, mcfg, trainer.variables, trainer.opt_state,
+                trainer.rng,
+                meta={"next_epoch": epoch_id + 1,
+                      "test_accu_best": test_accu_best,
+                      "best_path": best_path, "epochs_run": epochs_run,
+                      "shuffle_state": shuffle_rng.bit_generator.state})
         if not improved and epoch_id >= tcfg.min_epoch_num - 1:
             break
 
@@ -344,9 +433,8 @@ def _validate(trainer: Trainer, valid_ds, tcfg: TrainConfig,
               mcfg: ModelConfig):
     losses, accs, recs, precs = [], [], [], []
     for batch in valid_ds.batches(tcfg.batch_size):
-        labels = np.asarray(batch["labels"])
-        loss, preds, _probs, valid = trainer.eval_on_batch(batch)
-        acc, rec, prec = batch_metrics(labels[:valid], preds, mcfg.class_num)
+        loss, counts, _preds, _probs, _valid = trainer.eval_on_batch(batch)
+        acc, rec, prec = counts_to_metrics(counts, mcfg.class_num)
         losses.append(loss)
         accs.append(acc)
         recs.append(rec)

@@ -86,8 +86,8 @@ def test_sharded_trainer_step(rng):
         sanums=rng.integers(1, 30, (16, 5)).astype(np.float32),
         signals=rng.normal(0, 1, (16, 24)).astype(np.float32),
         labels=rng.integers(0, 2, 16).astype(np.int32))
-    loss1, preds, valid = trainer.train_on_batch(dict(batch), 1e-3)
-    loss2, _, _ = trainer.train_on_batch(dict(batch), 1e-3)
+    loss1, counts, preds, valid = trainer.train_on_batch(dict(batch), 1e-3)
+    loss2, _, _, _ = trainer.train_on_batch(dict(batch), 1e-3)
     assert np.isfinite(loss1) and np.isfinite(loss2)
     assert preds.shape == (16,)
     # loss moves (optimizer applied across the sharded step)

@@ -80,10 +80,10 @@ def test_trainer_step_and_eval(rng):
         signals=rng.normal(0, 1, (8, S)).astype(np.float32),
         labels=rng.integers(0, 2, 8).astype(np.int32))
     batch["__valid__"] = 6  # padded tail of 2
-    loss, preds, valid = trainer.train_on_batch(dict(batch), 0.001)
+    loss, counts, preds, valid = trainer.train_on_batch(dict(batch), 0.001)
     assert valid == 6 and preds.shape == (6,)
     assert np.isfinite(loss)
-    loss2, preds2, probs, valid2 = trainer.eval_on_batch(dict(batch))
+    loss2, counts2, preds2, probs, valid2 = trainer.eval_on_batch(dict(batch))
     assert valid2 == 6 and probs.shape == (6,)
     # LR schedule: single-step decay after epoch 1 (train_model.py:123-126)
     assert trainer.epoch_lr(0) == tcfg.learning_rate
