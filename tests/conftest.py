@@ -18,6 +18,20 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Build the native feature parser in-place once if it is missing, so the
+# native tests run (not skip) and parity vs the Python path is always
+# exercised.  `pip install` builds it via setup.py ext_modules; this covers
+# the run-from-checkout dev flow.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+try:
+    import deepsignal_tpu._fastparse  # noqa: F401
+except ImportError:
+    import subprocess
+    import sys
+    subprocess.run(
+        [sys.executable, "setup.py", "build_ext", "--inplace"],
+        cwd=_REPO, check=False, capture_output=True, timeout=300)
+
 # Persistent compilation cache: the full-size model takes minutes to compile
 # on CPU; cache makes repeat test runs fast.
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
