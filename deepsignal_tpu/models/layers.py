@@ -34,34 +34,41 @@ from ..ops.bilstm import lstm_layer
 
 
 class TFLSTMLayer(nn.Module):
-    """One unidirectional LSTM layer with TF1-LSTMCell weight layout.
+    """One unidirectional LSTM layer-direction with TF1-LSTMCell weight
+    layout (kernel [(D+H), 4H], input rows first; bias [4H]).
 
-    ``impl``: "auto" uses the fused Pallas VMEM-resident scan on TPU
-    (ops/pallas/lstm.py) and lax.scan elsewhere."""
+    setup-based (not compact) so the fused whole-encoder path can pull the
+    params via ``params_in`` without running the per-layer scan, while the
+    variable tree path stays ``event_model/{fw,bw}_i/*`` for checkpoints and
+    the TF1 importer either way."""
 
     hidden: int
+    in_dim: int
     reverse: bool = False
-    impl: str = "auto"
 
-    @nn.compact
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.glorot_uniform(),
+                                 (self.in_dim + self.hidden, 4 * self.hidden))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (4 * self.hidden,))
+
     def __call__(self, x):
-        d = x.shape[-1]
-        kernel = self.param("kernel", nn.initializers.glorot_uniform(),
-                            (d + self.hidden, 4 * self.hidden))
-        bias = self.param("bias", nn.initializers.zeros, (4 * self.hidden,))
-        kernel = kernel.astype(x.dtype)
-        bias = bias.astype(x.dtype)
-        use_pallas = self.impl == "pallas" or (
-            self.impl == "auto" and jax.default_backend() == "tpu"
-            and x.shape[0] >= 8 and self.hidden % 128 == 0)
-        if use_pallas:
-            from ..ops.pallas import lstm_layer_pallas
-            return lstm_layer_pallas(x, kernel, bias, reverse=self.reverse)
-        return lstm_layer(x, kernel, bias, reverse=self.reverse)
+        return lstm_layer(x, self.kernel.astype(x.dtype),
+                          self.bias.astype(x.dtype), reverse=self.reverse)
+
+    def params_in(self, dtype):
+        return self.kernel.astype(dtype), self.bias.astype(dtype)
 
 
 class BiLSTMEncoder(nn.Module):
-    """Stacked bidirectional LSTM encoder (layers.py:20-72, 142-173)."""
+    """Stacked bidirectional LSTM encoder (layers.py:20-72, 142-173).
+
+    ``impl``: "xla" = per-layer lax.scan; "pallas" = the fused whole-encoder
+    VMEM-resident kernel (ops/pallas/lstm.py) on the inference path; "auto" =
+    pallas on TPU, xla elsewhere.  Training with dropout (keep_prob < 1)
+    always takes the per-layer path — the fused kernel has no inter-layer
+    dropout (it would be a no-op at inference anyway); its gradients are
+    still exact via the custom VJP (bilstm_encoder_fused)."""
 
     hidden: int = 256
     num_layers: int = 3
@@ -69,25 +76,38 @@ class BiLSTMEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool, keep_prob: float = 1.0):
+        d = x.shape[-1]
+        layers_fw = [TFLSTMLayer(self.hidden, d if i == 0 else self.hidden,
+                                 reverse=False, name=f"fw_{i}")
+                     for i in range(self.num_layers)]
+        layers_bw = [TFLSTMLayer(self.hidden, d if i == 0 else self.hidden,
+                                 reverse=True, name=f"bw_{i}")
+                     for i in range(self.num_layers)]
+
+        dropout_live = not deterministic and keep_prob < 1.0
+        use_fused = (not dropout_live and self.num_layers == 3
+                     and self.hidden % 128 == 0 and x.shape[0] >= 8
+                     and (self.impl == "pallas" or (
+                         self.impl == "auto"
+                         and jax.default_backend() == "tpu")))
+        if use_fused:
+            from ..ops.pallas import bilstm_encoder_fused
+            kf, bf = zip(*(m.params_in(x.dtype) for m in layers_fw))
+            kb, bb = zip(*(m.params_in(x.dtype) for m in layers_bw))
+            return bilstm_encoder_fused(x, kf, bf, kb, bb)
+
         fw, bw = x, x
-        fw_out = bw_out = None
-        # the Pallas scan has no VJP — training (non-deterministic) paths
-        # take the differentiable lax.scan implementation
-        impl = self.impl if deterministic else "xla"
         for layer in range(self.num_layers):
-            fw_out = TFLSTMLayer(self.hidden, reverse=False, impl=impl,
-                                 name=f"fw_{layer}")(fw)
-            bw_out = TFLSTMLayer(self.hidden, reverse=True, impl=impl,
-                                 name=f"bw_{layer}")(bw)
+            fw = layers_fw[layer](fw)
+            bw = layers_bw[layer](bw)
             # DropoutWrapper(output_keep_prob) on every stacked cell
             # (layers.py:51-54); new mask per timestep == iid elementwise.
-            fw_out = nn.Dropout(rate=1.0 - keep_prob)(
-                fw_out, deterministic=deterministic)
-            bw_out = nn.Dropout(rate=1.0 - keep_prob)(
-                bw_out, deterministic=deterministic)
-            fw, bw = fw_out, bw_out
+            fw = nn.Dropout(rate=1.0 - keep_prob)(
+                fw, deterministic=deterministic)
+            bw = nn.Dropout(rate=1.0 - keep_prob)(
+                bw, deterministic=deterministic)
         # Event_model extract (layers.py:169-173): last fw step, first bw step
-        return jnp.concatenate([fw_out[:, -1, :], bw_out[:, 0, :]], axis=1)
+        return jnp.concatenate([fw[:, -1, :], bw[:, 0, :]], axis=1)
 
 
 class TFBatchNorm(nn.Module):

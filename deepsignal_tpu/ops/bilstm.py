@@ -61,3 +61,17 @@ def lstm_layer(x: jax.Array, kernel: jax.Array, bias: jax.Array,
             jnp.zeros((b, h_dim), dtype=x.dtype))
     _, outs = jax.lax.scan(step, init, xp.transpose(1, 0, 2), reverse=reverse)
     return outs.transpose(1, 0, 2)
+
+
+def bilstm_encoder_xla(x: jax.Array, kernels_fw, biases_fw, kernels_bw,
+                       biases_bw) -> jax.Array:
+    """Stacked bidirectional encoder, [B, T, D] -> [B, 2H]: independent
+    fw/bw stacks, output = concat(fw[:, -1], bw[:, 0]) (Event_model,
+    reference layers.py:142-173).  lax.scan baseline; the fused Pallas
+    version (ops.pallas.bilstm_encoder_fused) uses this for its backward
+    pass, so the two must stay semantically identical."""
+    fw, bw = x, x
+    for kf, bf, kb, bb in zip(kernels_fw, biases_fw, kernels_bw, biases_bw):
+        fw = lstm_layer(fw, kf, bf, reverse=False)
+        bw = lstm_layer(bw, kb, bb, reverse=True)
+    return jnp.concatenate([fw[:, -1, :], bw[:, 0, :]], axis=1)

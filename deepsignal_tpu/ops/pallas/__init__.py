@@ -1,1 +1,2 @@
-from .lstm import lstm_layer_pallas  # noqa: F401
+from .lstm import (bilstm_encoder_fused, bilstm_encoder_pallas,  # noqa: F401
+                   lstm_layer_pallas)
