@@ -73,22 +73,21 @@ class ModCaller:
             kmer, means, stds, sanums, signals = jax.device_put(
                 (kmer, means, stds, sanums, signals),
                 (self._data,) * 5)
+        else:
+            # Explicit async device_put (vs letting jit block on the h2d at
+            # dispatch) so transfers for batch i+1 are already in flight
+            # while batch i computes.
+            kmer, means, stds, sanums, signals = jax.device_put(
+                (kmer, means, stds, sanums, signals))
         return self._infer(self.variables, kmer, means, stds, sanums, signals)
 
-    def call_feature_batch(self, fb: FeatureBatch, is_dna: bool = True):
-        """Score a FeatureBatch; returns (pred_rows, predictions, probs).
+    def dispatch_feature_batch(self, fb: FeatureBatch):
+        """Asynchronously dispatch all fixed-shape device sub-batches for a
+        FeatureBatch; returns an opaque handle for ``collect``.
 
-        Rows follow the exact 10-column output contract
-        (call_modifications.py:184-190), in input order (the read-grouping
-        contract holds because input batches are read-grouped).  Prob strings
-        reproduce the reference's host chain byte-for-byte: float32 sigmoid
-        outputs renormalized with float32 numpy division and stringified as
-        np.float32 scalars (call_modifications.py:185-190).
-
-        All device sub-batches are dispatched before any result is fetched:
-        JAX async dispatch keeps the chip busy on sub-batch i+1 while the
-        host blocks on / formats sub-batch i.
-        """
+        JAX async dispatch means this returns as soon as the transfers and
+        XLA executions are enqueued — callers can keep several FeatureBatches
+        in flight so the chip never waits on host-side formatting/IO."""
         n = len(fb)
         bs = self.batch_size
         pending = []
@@ -101,7 +100,24 @@ class ModCaller:
             signals = _pad(fb.signals[i:j], bs)
             pending.append(
                 (i, j, self._run_fixed(kmer, means, stds, sanums, signals)))
+        return fb, pending
 
+    def call_feature_batch(self, fb: FeatureBatch, is_dna: bool = True):
+        """Score a FeatureBatch; returns (pred_rows, predictions, probs).
+
+        Rows follow the exact 10-column output contract
+        (call_modifications.py:184-190), in input order (the read-grouping
+        contract holds because input batches are read-grouped).  Prob strings
+        reproduce the reference's host chain byte-for-byte: float32 sigmoid
+        outputs renormalized with float32 numpy division and stringified as
+        np.float32 scalars (call_modifications.py:185-190).
+        """
+        return self.collect(self.dispatch_feature_batch(fb), is_dna=is_dna)
+
+    def collect(self, handle, is_dna: bool = True):
+        """Block on a ``dispatch_feature_batch`` handle and format rows."""
+        fb, pending = handle
+        n = len(fb)
         all_pred = np.empty(n, dtype=np.int64)
         all_p0 = np.empty(n, dtype=np.float32)
         all_p1 = np.empty(n, dtype=np.float32)
@@ -215,24 +231,38 @@ def run_call_mods(input_path: str, model_path: str, result_file: str,
 def call_mods_on_batches(caller: ModCaller,
                          batches: Iterable[FeatureBatch],
                          out_path: str,
-                         flush_every: int = 1,
-                         meter=None, is_dna: bool = True) -> int:
-    """Serial driver: stream read-grouped FeatureBatches -> call TSV.
+                         meter=None, is_dna: bool = True,
+                         pipeline_depth: int = 2) -> int:
+    """Pipelined driver: stream read-grouped FeatureBatches -> call TSV.
 
     Equivalent of the reference's reader->TF->writer process pipeline
     (call_modifications.py:450-491) collapsed to one process; the streaming
-    multiprocess front-end lives in runtime.pipeline.
+    multiprocess front-end lives in runtime.pipeline.  Up to
+    ``pipeline_depth`` FeatureBatches are dispatched ahead of the one being
+    formatted/written, so device transfer+compute overlaps host TSV work.
     """
+    from collections import deque
+
     count = 0
+    in_flight: deque = deque()
     with open(out_path, "w") as wf:
-        for bi, fb in enumerate(batches):
-            rows, _, _ = caller.call_feature_batch(fb, is_dna=is_dna)
+        def drain_one():
+            nonlocal count
+            handle = in_flight.popleft()
+            fb = handle[0]
+            rows, _, _ = caller.collect(handle, is_dna=is_dna)
             for r in rows:
                 wf.write(r + "\n")
             count += len(rows)
             if meter is not None:
                 n_reads = len({s.split("\t", 5)[4] for s in fb.sampleinfo})
                 meter.update(sites=len(rows), reads=n_reads)
-            if (bi + 1) % flush_every == 0:
-                wf.flush()
+            wf.flush()
+
+        for fb in batches:
+            in_flight.append(caller.dispatch_feature_batch(fb))
+            if len(in_flight) > pipeline_depth:
+                drain_one()
+        while in_flight:
+            drain_one()
     return count

@@ -172,3 +172,37 @@ def test_ablation_modes_match_oracle(mode):
                             is_base=cfg.is_base, is_cnn=cfg.is_cnn)
     np.testing.assert_allclose(logits, oracle["logits"].astype(np.float32),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_bf16_fast_path_parity_gate(full_setup):
+    """The bfloat16 fast path (compute_dtype=bfloat16, reduced matmul
+    precision) is an opt-in speed mode; this gate pins how far it may drift
+    from the float32 parity path: identical binary calls away from the
+    decision boundary and normalized probs within 1.5e-2 (bf16 has an 8-bit
+    mantissa; drift beyond that indicates a real numeric bug, not rounding)."""
+    model, variables, _, _ = full_setup
+    rng = np.random.default_rng(99)
+    batch = _rand_batch(rng, 64, FULL_CFG.kmer_len, FULL_CFG.cent_signals_len)
+
+    logits = {}
+    for dtype, prec in (("float32", "highest"), ("bfloat16", "default")):
+        m = DeepSignalNet(ModelConfig(**{**FULL_CFG.__dict__,
+                                         "compute_dtype": dtype,
+                                         "matmul_precision": prec}))
+
+        @jax.jit
+        def fwd(v, b):
+            return m.apply(v, b["kmer"], b["means"], b["stds"], b["sanums"],
+                           b["signals"], train=False)
+
+        logits[dtype] = np.asarray(fwd(variables, batch))
+
+    p1_f32 = np.asarray(normalized_probs(jnp.asarray(logits["float32"]))[1])
+    p1_bf16 = np.asarray(normalized_probs(jnp.asarray(logits["bfloat16"]))[1])
+    np.testing.assert_allclose(p1_bf16, p1_f32, atol=1.5e-2)
+
+    pred_f32 = np.asarray(predictions(jnp.asarray(logits["float32"])))
+    pred_bf16 = np.asarray(predictions(jnp.asarray(logits["bfloat16"])))
+    decided = np.abs(p1_f32 - 0.5) > 0.015
+    np.testing.assert_array_equal(pred_bf16[decided], pred_f32[decided])
+    assert decided.mean() > 0.5  # the gate must actually cover most sites
