@@ -81,7 +81,9 @@ def main_call_mods(args) -> None:
                   reference_path=args.reference_path,
                   position_file=args.positions,
                   is_recursive=str2bool(args.recursively),
-                  model_cfg_override=override)
+                  model_cfg_override=override,
+                  compute_dtype=args.compute_dtype,
+                  lstm_impl=args.lstm_impl)
 
 
 def main_train(args) -> None:
@@ -343,6 +345,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--f5_batch_num", action="store", type=int, default=50,
                    required=False,
                    help="reads/files per batch, default 50")
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"], required=False,
+                   help="TPU compute dtype: float32 = reference-parity "
+                        "(default), bfloat16 = fast path (bounded drift, "
+                        "see bf16 parity gate test)")
+    p.add_argument("--lstm_impl", type=str, default=None,
+                   choices=["auto", "xla", "pallas"], required=False,
+                   help="LSTM encoder implementation: lax.scan (xla) or the "
+                        "fused Pallas TPU kernel (pallas); auto = pallas on "
+                        "TPU")
     _add_fast5_args(p, with_methy_label=False)
     p.set_defaults(func=main_call_mods)
 

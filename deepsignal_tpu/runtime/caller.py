@@ -172,7 +172,8 @@ def run_call_mods(input_path: str, model_path: str, result_file: str,
                   f5_batch_num: int = 50, reference_path=None,
                   position_file=None, is_recursive: bool = True,
                   use_mesh: bool = True, model_cfg_override=None,
-                  profile_dir=None) -> int:
+                  profile_dir=None, compute_dtype=None,
+                  lstm_impl=None) -> int:
     """Top-level call_mods driver (call_modifications.py:417-495): dispatch
     on fast5-dir vs feature-TSV input, stream batches through the jitted
     caller, write the 10-column call TSV.  Returns the call count.
@@ -196,6 +197,19 @@ def run_call_mods(input_path: str, model_path: str, result_file: str,
     start = time.time()
     cfg, variables = load_checkpoint(os.path.abspath(model_path),
                                      cfg=model_cfg_override)
+    if compute_dtype or lstm_impl:
+        # perf knobs orthogonal to the checkpointed architecture:
+        # bfloat16 is the fast path (drift bounded by the bf16 parity gate,
+        # tests/test_net_oracle.py); lstm_impl picks the scan vs the fused
+        # Pallas encoder kernel
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg,
+            **({"compute_dtype": compute_dtype,
+                "matmul_precision":
+                    "default" if compute_dtype == "bfloat16" else "highest"}
+               if compute_dtype else {}),
+            **({"lstm_impl": lstm_impl} if lstm_impl else {}))
     # Host-LOCAL mesh: inference has zero cross-host data dependencies, so
     # each host runs its own mesh over its addressable chips on its own read
     # shard (no lockstep batch-count requirement between hosts, no
