@@ -63,11 +63,11 @@ class ModelConfig:
     # fastest (bf16-class passes on MXU).  This backend's default is reduced
     # precision, so parity mode must pin "highest".
     matmul_precision: str = "highest"  # "highest" | "high" | "default"
-    # LSTM recurrence implementation: "xla" = lax.scan (default — currently
-    # measured faster end-to-end: 17.9 vs 21.2 ms/batch on v5e), "pallas" =
-    # fused VMEM-resident kernel (ops/pallas/lstm.py), "auto" = pallas on
-    # TPU / xla elsewhere.
-    lstm_impl: str = "xla"
+    # LSTM encoder implementation: "xla" = per-layer lax.scan, "pallas" =
+    # fused whole-encoder VMEM-resident kernel (ops/pallas/lstm.py),
+    # "auto" (default) = pallas for bfloat16 on TPU (measured ~13% faster,
+    # scripts/profile_serial.py), xla otherwise (f32 weights don't fit VMEM).
+    lstm_impl: str = "auto"
 
     def __post_init__(self):
         if not (self.is_cnn or self.is_rnn):

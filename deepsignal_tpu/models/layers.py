@@ -65,10 +65,14 @@ class BiLSTMEncoder(nn.Module):
 
     ``impl``: "xla" = per-layer lax.scan; "pallas" = the fused whole-encoder
     VMEM-resident kernel (ops/pallas/lstm.py) on the inference path; "auto" =
-    pallas on TPU, xla elsewhere.  Training with dropout (keep_prob < 1)
-    always takes the per-layer path — the fused kernel has no inter-layer
-    dropout (it would be a no-op at inference anyway); its gradients are
-    still exact via the custom VJP (bilstm_encoder_fused)."""
+    pallas only for bfloat16 on TPU, xla otherwise — measured on real
+    hardware (scripts/profile_serial.py): in bf16 the fused kernel's 2.5 MB
+    weight set stays VMEM-resident and it beats the scan ~13%, while in f32
+    the ~10 MB of weights + double-buffered activations thrash VMEM and the
+    scan wins.  Training with dropout (keep_prob < 1) always takes the
+    per-layer path — the fused kernel has no inter-layer dropout (a no-op at
+    inference anyway); its gradients are still exact via the custom VJP
+    (bilstm_encoder_fused)."""
 
     hidden: int = 256
     num_layers: int = 3
@@ -89,7 +93,8 @@ class BiLSTMEncoder(nn.Module):
                      and self.hidden % 128 == 0 and x.shape[0] >= 8
                      and (self.impl == "pallas" or (
                          self.impl == "auto"
-                         and jax.default_backend() == "tpu")))
+                         and jax.default_backend() == "tpu"
+                         and x.dtype == jnp.bfloat16)))
         if use_fused:
             from ..ops.pallas import bilstm_encoder_fused
             kf, bf = zip(*(m.params_in(x.dtype) for m in layers_fw))
