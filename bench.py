@@ -39,7 +39,8 @@ import time
 
 import numpy as np
 
-BATCH = 512
+BATCH = 512            # reference-parity batch (TF1 default)
+DEVICE_BATCH = 16384   # TPU-tuned device batch (per-call latency amortized)
 ITERS = 10
 TRIALS = 3
 N_READS = 48          # 6 kb reads -> ~100 CpG sites each -> ~4800 sites
@@ -48,13 +49,23 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "bench_baseline.json")
 
 
-def _make_batch(rng, b, k=17, s=360):
-    return dict(
-        kmer=rng.integers(0, 4, (b, k)).astype(np.int32),
-        means=rng.normal(0, 1, (b, k)).astype(np.float32),
-        stds=np.abs(rng.normal(0, 1, (b, k))).astype(np.float32),
-        sanums=rng.integers(1, 40, (b, k)).astype(np.float32),
-        signals=rng.normal(0, 1, (b, s)).astype(np.float32))
+def _make_batch(rng, b, k=17, s=360, wire=None):
+    """wire=None: plain f32/int32 arrays.  wire="f32"/"bf16": the ModCaller
+    wire format (int8 kmer, uint16 sanums, f32 or bf16 floats)."""
+    kmer = rng.integers(0, 4, (b, k))
+    means = rng.normal(0, 1, (b, k)).astype(np.float32)
+    stds = np.abs(rng.normal(0, 1, (b, k))).astype(np.float32)
+    sanums = rng.integers(1, 40, (b, k))
+    signals = rng.normal(0, 1, (b, s)).astype(np.float32)
+    if wire is None:
+        return dict(kmer=kmer.astype(np.int32), means=means, stds=stds,
+                    sanums=sanums.astype(np.float32), signals=signals)
+    import jax.numpy as jnp
+    f = np.dtype(jnp.bfloat16) if wire == "bf16" else np.dtype(np.float32)
+    return dict(kmer=kmer.astype(np.int8),
+                means=means.astype(f), stds=stds.astype(f),
+                sanums=sanums.astype(np.uint16),
+                signals=signals.astype(f))
 
 
 def _write_synthetic_reads(f5dir: str, n_reads: int = N_READS,
@@ -84,6 +95,7 @@ def _write_synthetic_reads(f5dir: str, n_reads: int = N_READS,
 
 def _jit_infer(cfg):
     import jax
+    import jax.numpy as jnp
 
     from deepsignal_tpu.models.deepsignal import DeepSignalNet, predictions
 
@@ -91,7 +103,8 @@ def _jit_infer(cfg):
 
     @jax.jit
     def fn(variables, b):
-        logits = model.apply(variables, b["kmer"], b["means"], b["stds"],
+        logits = model.apply(variables, b["kmer"].astype(jnp.int32),
+                             b["means"], b["stds"],
                              b["sanums"], b["signals"], train=False)
         return jax.nn.sigmoid(logits), predictions(logits, 1.0)
     return fn
@@ -120,50 +133,57 @@ def _init_device_variables(cfg):
     return variables
 
 
-def measure_model_rates(cfg) -> dict:
+def measure_model_rates(cfg, batch=BATCH, wire=None, iters=ITERS,
+                        variables=None) -> dict:
     """Device-resident sites/s and fresh-h2d model-path ms/batch.
 
     Protocol: every timed call sees UNIQUE batch content — the tunnel
     backend memoizes repeated (program, args) executions, so cycling a small
     set of batches reports fantasy numbers.  Each trial generates its own
-    fresh batches."""
+    fresh batches.  ``wire`` selects the production ModCaller wire format
+    (int8 kmer / uint16 sanums, f32 or bf16 floats — tests/test_caller.py
+    proves both are exact for their compute paths)."""
     import jax
 
-    variables = _init_device_variables(cfg)
+    if variables is None:
+        variables = _init_device_variables(cfg)
     fn = _jit_infer(cfg)
 
     rng = np.random.default_rng(0)
-    out = fn(variables, jax.device_put(_make_batch(rng, BATCH)))
+    out = fn(variables, jax.device_put(_make_batch(rng, batch, wire=wire)))
     jax.block_until_ready(out)
 
     # device-resident, unique content per call
     rates = []
     for _ in range(TRIALS):
-        devs = [jax.device_put(_make_batch(rng, BATCH)) for _ in range(ITERS)]
+        devs = [jax.device_put(_make_batch(rng, batch, wire=wire))
+                for _ in range(iters)]
         jax.block_until_ready(devs)
         t = time.perf_counter()
         outs = [fn(variables, d) for d in devs]
         jax.block_until_ready(outs)
-        rates.append(BATCH * ITERS / (time.perf_counter() - t))
+        rates.append(batch * iters / (time.perf_counter() - t))
     dev_rate = float(np.median(rates))
 
     # fresh-content h2d + compute, pipelined one batch ahead
     rates = []
     for _ in range(TRIALS):
-        fresh = [_make_batch(rng, BATCH) for _ in range(ITERS + 1)]
+        fresh = [_make_batch(rng, batch, wire=wire)
+                 for _ in range(iters + 1)]
         t = time.perf_counter()
         outs = []
         d = jax.device_put(fresh[0])
-        for i in range(ITERS):
+        for i in range(iters):
             nxt = jax.device_put(fresh[i + 1])
             outs.append(fn(variables, d))
             d = nxt
         jax.block_until_ready(outs)
-        rates.append(BATCH * ITERS / (time.perf_counter() - t))
+        rates.append(batch * iters / (time.perf_counter() - t))
     h2d_rate = float(np.median(rates))
-    return {"device_sites_per_s": round(dev_rate),
+    return {"batch": batch,
+            "device_sites_per_s": round(dev_rate),
             "with_h2d_sites_per_s": round(h2d_rate),
-            "ms_per_batch_with_h2d": round(BATCH / h2d_rate * 1e3, 2)}
+            "ms_per_batch_with_h2d": round(batch / h2d_rate * 1e3, 2)}
 
 
 def measure_e2e(compute_dtype=None) -> dict:
@@ -209,7 +229,7 @@ def measure_e2e(compute_dtype=None) -> dict:
             t0 = time.perf_counter()
             if caller is None:  # cold: includes ckpt load + compile
                 ld_cfg, ld_vars = load_checkpoint(ckpt)
-                caller = ModCaller(ld_cfg, ld_vars, batch_size=BATCH)
+                caller = ModCaller(ld_cfg, ld_vars, batch_size=4096)
             batches = stream_fast5_feature_batches(
                 f5dir, FeatureConfig(), nproc=3, f5_batch_num=8)
             n_calls = call_mods_on_batches(caller, batches, out_tsv)
@@ -367,21 +387,35 @@ def main() -> int:
     extras = {}
     extras.update(measure_featurize_only())
 
-    f32 = measure_model_rates(ModelConfig(**size))  # parity path
+    cfg32 = ModelConfig(**size)
+    cfg16 = ModelConfig(compute_dtype="bfloat16", matmul_precision="default",
+                        **size)
+    dev_batch = 64 if tiny else DEVICE_BATCH
+    # shared device-resident variables: the joint head alone is ~145 MB and
+    # re-uploading it per config through the tunnel dominates bench runtime
+    variables = _init_device_variables(cfg32)
+    # f32 parity path at the production wire format + TPU-tuned batch
+    f32 = measure_model_rates(cfg32, batch=dev_batch, wire="f32", iters=4,
+                              variables=variables)
     extras["f32"] = f32
-    extras["bf16"] = measure_model_rates(
-        ModelConfig(compute_dtype="bfloat16", matmul_precision="default",
-                    **size))
+    extras["bf16"] = measure_model_rates(cfg16, batch=dev_batch, wire="bf16",
+                                         iters=4, variables=variables)
+    # reference-parity batch size, for continuity with earlier rounds
+    extras["f32_b512"] = measure_model_rates(cfg32, batch=(64 if tiny
+                                                           else BATCH),
+                                             wire="f32",
+                                             variables=variables)
 
     extras["e2e"] = measure_e2e()
     extras["e2e_bf16"] = measure_e2e(compute_dtype="bfloat16")
 
     baseline = get_baseline_sites_per_s()
     # primary: the chip-side call_mods rate (model inference incl. fresh
-    # host->device transfer, unique content every call, f32 parity path) at
-    # ~100 CpG sites per read.  The e2e fields give the whole-pipeline rate,
-    # which on this 2-core bench host is capped by featurization, not the
-    # chip (featurize_sites_per_s_1proc vs f32.with_h2d_sites_per_s).
+    # host->device transfer, unique content every call, f32 parity path,
+    # production wire format + TPU-tuned device batch) at ~100 CpG sites
+    # per read.  The e2e fields give the whole-pipeline rate, which on this
+    # 2-core bench host is capped by featurization, not the chip
+    # (featurize_sites_per_s_1proc vs f32.with_h2d_sites_per_s).
     sites_per_s = f32["with_h2d_sites_per_s"]
     # sites-per-read measured from the synthetic corpus (not modeled)
     spr = extras["e2e"]["sites"] / extras["e2e"]["reads"]

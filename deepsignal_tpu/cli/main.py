@@ -329,8 +329,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint directory of the trained model")
     p.add_argument("--result_file", "-o", action="store", type=str,
                    required=True, help="path to save the predicted result")
-    p.add_argument("--batch_size", "-b", default=512, type=int,
-                   required=False, help="batch size, default 512")
+    p.add_argument("--batch_size", "-b", default=4096, type=int,
+                   required=False,
+                   help="device batch size, default 4096 (TPU-tuned; the "
+                        "driver coalesces feature batches to fill it — "
+                        "per-call transfer latency dominates small batches)")
     p.add_argument("--class_num", "-c", action="store", default=2, type=int,
                    required=False, help="class num, default 2")
     p.add_argument("--is_cnn", type=str, default=None, required=False,

@@ -23,39 +23,39 @@ def get_central_signals(signals_list: list, rawsignal_num: int = 360,
                         rng: Optional[random.Random] = None) -> np.ndarray:
     """Reference-shaped API: list of per-base signal arrays -> [rawsignal_num]
     float64 window (extract_features.py:154-190)."""
-    signal_lens = [len(x) for x in signals_list]
+    total = sum(len(x) for x in signals_list)
 
-    if sum(signal_lens) < rawsignal_num:
-        real_signals = np.concatenate(signals_list)
-        return np.append(real_signals,
-                         np.array([0] * (rawsignal_num - len(real_signals))))
+    if total < rawsignal_num:
+        have = np.concatenate(signals_list)
+        return np.append(have, np.zeros(rawsignal_num - len(have)))
 
-    mid_loc = int((len(signals_list) - 1) / 2)
-    mid_base_len = len(signals_list[mid_loc])
+    mid = (len(signals_list) - 1) // 2
+    mid_seg = signals_list[mid]
 
-    if mid_base_len >= rawsignal_num:
-        allcentsignals = signals_list[mid_loc]
+    if len(mid_seg) >= rawsignal_num:
+        # oversized middle base: random sorted subsample of its signals
         sampler = rng if rng is not None else random
-        picks = sorted(sampler.sample(range(len(allcentsignals)), rawsignal_num))
-        return np.asarray([allcentsignals[x] for x in picks])
+        picks = sorted(sampler.sample(range(len(mid_seg)), rawsignal_num))
+        return np.asarray([mid_seg[x] for x in picks])
 
-    left_len = (rawsignal_num - mid_base_len) // 2
-    right_len = rawsignal_num - left_len
+    # split the remaining budget around the middle base, clamped to what is
+    # actually available on each side of the window
+    want_l = (rawsignal_num - len(mid_seg)) // 2
+    want_r = rawsignal_num - want_l
+    before = np.concatenate(signals_list[:mid]) if mid else np.empty(0)
+    after = np.concatenate(signals_list[mid:])
 
-    left_signals = np.concatenate(signals_list[:mid_loc])
-    right_signals = np.concatenate(signals_list[mid_loc:])
+    if want_l > len(before):
+        want_r += want_l - len(before)
+        want_l = len(before)
+    elif want_r > len(after):
+        want_l += want_r - len(after)
+        want_r = len(after)
 
-    if left_len > len(left_signals):
-        right_len = right_len + left_len - len(left_signals)
-        left_len = len(left_signals)
-    elif right_len > len(right_signals):
-        left_len = left_len + right_len - len(right_signals)
-        right_len = len(right_signals)
-
-    assert right_len + left_len == rawsignal_num
-    if left_len == 0:
-        return right_signals[:right_len]
-    return np.append(left_signals[-left_len:], right_signals[:right_len])
+    assert want_r + want_l == rawsignal_num
+    if want_l == 0:
+        return after[:want_r]
+    return np.append(before[-want_l:], after[:want_r])
 
 
 def central_signals_flat(norm_signals: np.ndarray, seg_starts: np.ndarray,

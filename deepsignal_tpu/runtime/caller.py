@@ -27,16 +27,30 @@ from ..parallel.mesh import batch_sharding, replicated
 
 
 class ModCaller:
-    """Owns the jitted inference step + fixed-shape batching."""
+    """Owns the jitted inference step + fixed-shape batching.
 
-    def __init__(self, cfg: ModelConfig, variables, batch_size: int = 512,
+    Wire format: host->device transfers through the PCIe/tunnel link are the
+    inference bottleneck (per-call latency + bytes), so batches are packed
+    before ``device_put``: kmer codes as int8 and per-base signal counts as
+    uint16 (both exact — codes are 0..4, counts are small integers), and on
+    the bfloat16 compute path the float features ship as bfloat16 (identical
+    to the on-device f32->bf16 cast the model would do anyway, RTNE both
+    ways).  The f32 parity path keeps float32 floats so results stay
+    bit-identical to the unpacked path (tests/test_caller.py).
+    """
+
+    def __init__(self, cfg: ModelConfig, variables, batch_size: int = 4096,
                  mesh=None):
         self.cfg = cfg
         self.batch_size = batch_size
         self.mesh = mesh
         self.model = DeepSignalNet(cfg)
+        self._wire_f = (np.dtype(jnp.bfloat16)
+                        if jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
+                        else np.dtype(np.float32))
 
         def _infer(variables, kmer, means, stds, sanums, signals):
+            kmer = kmer.astype(jnp.int32)
             logits = self.model.apply(variables, kmer, means, stds, sanums,
                                       signals, train=False)
             # activation = sigmoid, NOT softmax (model.py:99-100); the
@@ -64,7 +78,19 @@ class ModCaller:
             self.variables = jax.device_put(variables)
             self._data = None
 
+    def _pack(self, kmer, means, stds, sanums, signals):
+        """Pack a padded fixed-shape batch into the compact wire format."""
+        wf = self._wire_f
+        return (np.ascontiguousarray(kmer, dtype=np.int8),
+                np.ascontiguousarray(means, dtype=wf),
+                np.ascontiguousarray(stds, dtype=wf),
+                np.ascontiguousarray(np.clip(sanums, 0, 65535),
+                                     dtype=np.uint16),
+                np.ascontiguousarray(signals, dtype=wf))
+
     def _run_fixed(self, kmer, means, stds, sanums, signals):
+        kmer, means, stds, sanums, signals = self._pack(
+            kmer, means, stds, sanums, signals)
         if self._data is not None:
             # Explicit h2d onto the batch sharding: a host-LOCAL mesh is
             # fully addressable so this works even under jax.distributed
@@ -157,6 +183,32 @@ def decode_kmer_strings(kmers: np.ndarray, is_dna: bool = True) -> list:
     return [flat[i * k:(i + 1) * k].decode("ascii") for i in range(n)]
 
 
+def coalesce_feature_batches(batches: Iterable[FeatureBatch],
+                             n: int) -> Iterator[FeatureBatch]:
+    """Re-chunk a stream of FeatureBatches into batches of exactly ``n``
+    rows (the last one may be smaller), preserving row order.
+
+    The streaming featurizer emits one FeatureBatch per fast5 file-batch
+    (~f5_batch_num * sites-per-read rows); device batches want to be much
+    larger than that on TPU (per-call transfer latency dominates), so the
+    driver coalesces across file-batch boundaries before dispatch."""
+    pending: list = []
+    count = 0
+    for fb in batches:
+        pending.append(fb)
+        count += len(fb)
+        while count >= n:
+            cat = FeatureBatch.concat(pending) if len(pending) > 1 \
+                else pending[0]
+            yield cat[:n]
+            rest = cat[n:]
+            pending = [rest] if len(rest) else []
+            count = len(rest)
+    if count:
+        yield FeatureBatch.concat(pending) if len(pending) > 1 \
+            else pending[0]
+
+
 def _pad(arr: np.ndarray, batch_size: int) -> np.ndarray:
     """Pad the leading axis to the fixed batch size (repeat last row so the
     padded lanes stay numerically benign; they are discarded by valid count)."""
@@ -168,7 +220,7 @@ def _pad(arr: np.ndarray, batch_size: int) -> np.ndarray:
 
 
 def run_call_mods(input_path: str, model_path: str, result_file: str,
-                  feature_cfg, batch_size: int = 512, nproc: int = 2,
+                  feature_cfg, batch_size: int = 4096, nproc: int = 2,
                   f5_batch_num: int = 50, reference_path=None,
                   position_file=None, is_recursive: bool = True,
                   use_mesh: bool = True, model_cfg_override=None,
@@ -259,6 +311,7 @@ def call_mods_on_batches(caller: ModCaller,
 
     count = 0
     in_flight: deque = deque()
+    last_read = [None]  # dedupe read count across coalesced-batch splits
     with open(out_path, "w") as wf:
         def drain_one():
             nonlocal count
@@ -268,12 +321,14 @@ def call_mods_on_batches(caller: ModCaller,
             for r in rows:
                 wf.write(r + "\n")
             count += len(rows)
-            if meter is not None:
-                n_reads = len({s.split("\t", 5)[4] for s in fb.sampleinfo})
+            if meter is not None and fb.sampleinfo:
+                read_ids = {s.split("\t", 5)[4] for s in fb.sampleinfo}
+                n_reads = len(read_ids - {last_read[0]})
+                last_read[0] = fb.sampleinfo[-1].split("\t", 5)[4]
                 meter.update(sites=len(rows), reads=n_reads)
             wf.flush()
 
-        for fb in batches:
+        for fb in coalesce_feature_batches(batches, caller.batch_size):
             in_flight.append(caller.dispatch_feature_batch(fb))
             if len(in_flight) > pipeline_depth:
                 drain_one()

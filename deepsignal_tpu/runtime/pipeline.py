@@ -40,6 +40,38 @@ from ..io.feature_codec import FeatureBatch, iter_feature_batches_by_read
 QUEUE_MAX_BATCHES = 100  # backpressure bound (vs reference's qsize polling)
 
 
+class _host_worker_env:
+    """Start host-side workers with an accelerator-free interpreter.
+
+    Featurize/IO workers are pure numpy/h5py — they must not pay the
+    accelerator-plugin bootstrap (a ``sitecustomize.py`` on PYTHONPATH that
+    imports jax + registers a TPU backend costs seconds per spawned worker
+    and may dial the device transport).  Inside this context, PYTHONPATH
+    entries that carry a ``sitecustomize.py`` are dropped and
+    ``JAX_PLATFORMS=cpu`` is pinned so an accidental jax import in a worker
+    can never touch the TPU.  The parent env is restored on exit (spawned
+    children snapshot the env at ``Process.start``)."""
+
+    def __enter__(self):
+        self._saved = {k: os.environ.get(k)
+                       for k in ("PYTHONPATH", "JAX_PLATFORMS")}
+        entries = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        keep = [e for e in entries
+                if e and not os.path.exists(os.path.join(e,
+                                                         "sitecustomize.py"))]
+        os.environ["PYTHONPATH"] = os.pathsep.join(keep)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        return self
+
+    def __exit__(self, *exc):
+        for k, v in self._saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+        return False
+
+
 def _extract_worker(fast5s_q, out_q, errornum_q, cfg: FeatureConfig,
                     motif_seqs, chrom2len, positions, as_batch: bool,
                     seed_base: int, worker_id: int = 0):
@@ -155,22 +187,24 @@ def run_extract(fast5_dir: str, write_path: str, cfg: FeatureConfig,
         fast5s_q.put(None)
 
     workers = []
-    for w in range(n_workers):
-        p = ctx.Process(target=_extract_worker,
-                        args=(fast5s_q, rows_q, errornum_q, cfg, motif_seqs,
-                              chrom2len, positions, False, 1000 * w),
-                        daemon=True)
-        p.start()
-        workers.append(p)
+    with _host_worker_env():
+        for w in range(n_workers):
+            p = ctx.Process(target=_extract_worker,
+                            args=(fast5s_q, rows_q, errornum_q, cfg,
+                                  motif_seqs, chrom2len, positions, False,
+                                  1000 * w),
+                            daemon=True)
+            p.start()
+            workers.append(p)
 
-    if w_is_dir:
-        writer = ctx.Process(target=_write_rows_dir,
-                             args=(write_path, rows_q, w_batch_num),
-                             daemon=True)
-    else:
-        writer = ctx.Process(target=_write_rows_file,
-                             args=(write_path, rows_q), daemon=True)
-    writer.start()
+        if w_is_dir:
+            writer = ctx.Process(target=_write_rows_dir,
+                                 args=(write_path, rows_q, w_batch_num),
+                                 daemon=True)
+        else:
+            writer = ctx.Process(target=_write_rows_file,
+                                 args=(write_path, rows_q), daemon=True)
+        writer.start()
 
     for p in workers:
         p.join()
@@ -228,13 +262,14 @@ def stream_fast5_feature_batches(fast5_dir: str, cfg: FeatureConfig,
         fast5s_q.put(None)
 
     workers = []
-    for w in range(n_workers):
-        p = ctx.Process(target=_extract_worker,
-                        args=(fast5s_q, batch_q, None, cfg, motif_seqs,
-                              chrom2len, positions, True, 1000 * w, w),
-                        daemon=True)
-        p.start()
-        workers.append(p)
+    with _host_worker_env():
+        for w in range(n_workers):
+            p = ctx.Process(target=_extract_worker,
+                            args=(fast5s_q, batch_q, None, cfg, motif_seqs,
+                                  chrom2len, positions, True, 1000 * w, w),
+                            daemon=True)
+            p.start()
+            workers.append(p)
     if stats is not None:
         stats["workers"] = workers
 
@@ -313,7 +348,8 @@ def stream_file_feature_batches(features_file: str, reads_per_batch: int = 50,
     reader = ctx.Process(target=_file_reader_proc,
                          args=(features_file, batch_q, reads_per_batch),
                          daemon=True)
-    reader.start()
+    with _host_worker_env():
+        reader.start()
     while True:
         fb = batch_q.get()
         if fb is None:

@@ -104,3 +104,64 @@ def test_call_mods_on_batches_writes_file(tiny_ckpt, rng, tmp_path):
     # rows preserve input order (read grouping contract)
     assert [l.split("\t")[1] for l in lines] == [str(100 + i)
                                                 for i in range(7)]
+
+
+def test_coalesce_feature_batches(rng):
+    from deepsignal_tpu.runtime.caller import coalesce_feature_batches
+    fbs = [parse_feature_lines(_rows(rng, n=n)) for n in (3, 5, 2, 7, 1)]
+    out = list(coalesce_feature_batches(iter(fbs), 4))
+    assert [len(b) for b in out] == [4, 4, 4, 4, 2]
+    flat_in = [s for b in fbs for s in b.sampleinfo]
+    flat_out = [s for b in out for s in b.sampleinfo]
+    assert flat_out == flat_in  # order preserved, nothing lost
+    kin = np.concatenate([b.kmers for b in fbs])
+    kout = np.concatenate([b.kmers for b in out])
+    np.testing.assert_array_equal(kin, kout)
+
+
+def test_wire_packing_is_exact_f32(tiny_ckpt, rng):
+    """int8-kmer/uint16-sanums wire packing must be bit-identical to the
+    float32 reference path (the pack is lossless for f32 compute)."""
+    import jax
+
+    cfg, variables = load_checkpoint(tiny_ckpt)
+    caller = ModCaller(cfg, variables, batch_size=8)
+    fb = parse_feature_lines(_rows(rng, n=8))
+    _, preds, (p0, p1) = caller.call_feature_batch(fb)
+
+    # unpacked oracle: apply the model directly on float32/int32 inputs
+    logits = caller.model.apply(
+        caller.variables, fb.kmers.astype(np.int32),
+        fb.means, fb.stds, fb.lens.astype(np.float32), fb.signals,
+        train=False)
+    act = np.asarray(jax.nn.sigmoid(logits))
+    tot = act[:, 0] + act[:, 1]
+    np.testing.assert_array_equal(p0, act[:, 0] / tot)
+    np.testing.assert_array_equal(p1, act[:, 1] / tot)
+
+
+def test_wire_packing_bf16_matches_device_cast(tiny_ckpt, rng):
+    """bf16 wire format (host-side RTNE cast) must equal the on-device
+    f32->bf16 cast the model performs on the f32 path."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg, variables = load_checkpoint(tiny_ckpt)
+    cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16",
+                                matmul_precision="default")
+    caller = ModCaller(cfg16, variables, batch_size=8)
+    assert caller._wire_f == np.dtype(jnp.bfloat16)
+    fb = parse_feature_lines(_rows(rng, n=8))
+    _, preds, (p0, p1) = caller.call_feature_batch(fb)
+
+    # oracle: f32 inputs into the same bf16-compute model (device cast)
+    logits = caller.model.apply(
+        caller.variables, fb.kmers.astype(np.int32),
+        fb.means, fb.stds, fb.lens.astype(np.float32), fb.signals,
+        train=False)
+    import jax
+    act = np.asarray(jax.nn.sigmoid(logits))
+    tot = act[:, 0] + act[:, 1]
+    np.testing.assert_array_equal(p0, act[:, 0] / tot)
+    np.testing.assert_array_equal(p1, act[:, 1] / tot)
