@@ -26,6 +26,29 @@ def _apply_platform_override() -> None:
         jax.config.update("jax_platforms", plat)
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for CLI runs.
+
+    A cold ``call_mods`` invocation pays tens of seconds of jit compile; the
+    program is identical across runs (fixed shapes by design), so a
+    per-machine on-disk cache makes every run after the first start in
+    seconds.  Opt out with DEEPSIGNAL_TPU_XLA_CACHE=off, or point it at a
+    custom directory."""
+    cache = os.environ.get("DEEPSIGNAL_TPU_XLA_CACHE", "")
+    if cache.lower() in ("off", "0", "none"):
+        return
+    if not cache:
+        cache = os.path.join(os.path.expanduser("~"), ".cache",
+                             "deepsignal_tpu", "xla")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is a fast-path nicety, never fatal
+        print(f"compilation cache disabled ({e})", file=sys.stderr)
+
+
 def display_args(args) -> None:
     """Flag echo banner (process_utils.py:42-49)."""
     print("# ===============================================")
@@ -602,6 +625,7 @@ def main(argv=None) -> int:
         parser.print_help()
         return 1
     _apply_platform_override()
+    _enable_compile_cache()
     args.func(args)
     return 0
 
