@@ -1,33 +1,30 @@
 """call_mods throughput benchmark.
 
 Prints ONE JSON line:
-  {"metric": "call_mods_reads_per_s_per_chip", "value": N, "unit": "reads/s",
+  {"metric": "call_mods_reads_per_s_e2e", "value": N, "unit": "reads/s",
    "vs_baseline": R, ...extra fields...}
 
-- value: the chip-side call_mods rate: jitted fixed-shape inference
-  including fresh host->device transfer of every batch (f32 parity path,
-  matmul_precision=highest), converted to reads/s with the sites-per-read
-  ratio MEASURED from the synthetic corpus (6 kb reads, CpG planted every
-  60 bases = yeast-like density; nothing modeled).
-- vs_baseline: the same sites/s vs a measured torch-CPU implementation of
-  the same architecture doing model-only inference.  The reference is
-  TF1-CPU (no TF1 in this image); torch-CPU with MKL is the closest
-  measurable stand-in.  Cached in bench_baseline.json.
-- extra fields decompose the whole pipeline: device-resident model rates
-  for f32 and bf16, end-to-end runs (fast5 IO -> multiprocess featurize ->
-  inference -> call TSV) both cold (incl. checkpoint load + jit compile)
-  and warm, f32 and bf16, and the featurize-only rate.  On this 2-core
-  bench host the end-to-end warm rate is capped by host featurization; the
-  chip-side rate is the scaling-relevant number (a production host featurizes
-  on many cores and/or many hosts feed one chip pool).
-
-Measurement protocol: the bench host reaches its chip through a tunnel
-whose backend MEMOIZES repeated (program, args) executions — every timed
-call therefore sees unique batch content, and rates were cross-checked with
-serially-chained calls that cannot overlap (scripts/profile_serial.py).
-
-Timing: median over trials where cheap; single wall-clock pass for the
-end-to-end run (it processes every synthetic read exactly once).
+- value: measured END-TO-END call_mods rate — fast5 dir -> multiprocess
+  featurize -> jit TPU inference -> 10-column call TSV — on a >=500-read
+  synthetic corpus (6 kb reads, CpGs planted every 60 bases = yeast-like
+  density), warm (model compiled; worker spawn included in the wall clock,
+  and a separate steady_state rate excludes the startup ramp).
+- vs_baseline: our e2e sites/s vs a measured torch-CPU implementation of the
+  reference architecture doing MODEL-ONLY inference (generous to the
+  baseline: the TF1-CPU reference also pays featurization, which is slower
+  than its model path).  Cached in bench_baseline.json.
+- model_* fields: chip-side model rates under a SERIAL-CHAINED protocol —
+  call i+1 consumes call i's output (a data dependency XLA cannot remove),
+  and the loop ends with an actual device->host fetch of the chained scalar.
+  Rationale: the bench host reaches its chip through an experimental tunnel
+  ('axon') where ``block_until_ready`` has been observed to return before
+  execution finishes, which made round-2 numbers physically impossible
+  (3-6 PFLOP/s on one chip).  Only a value fetch is trusted as a sync point.
+- every model measurement carries {flops_per_site, mfu, valid}: flops from
+  XLA ``cost_analysis`` on the exact compiled step, mfu = rate *
+  flops_per_site / chip_peak_flops, and valid=false (excluded from any
+  headline) whenever the implied MFU exceeds 1.0 — a physics gate no real
+  measurement can trip.
 """
 
 import json
@@ -41,12 +38,26 @@ import numpy as np
 
 BATCH = 512            # reference-parity batch (TF1 default)
 DEVICE_BATCH = 16384   # TPU-tuned device batch (per-call latency amortized)
-ITERS = 10
-TRIALS = 3
-N_READS = 48          # 6 kb reads -> ~100 CpG sites each -> ~4800 sites
+SERIAL_ITERS = 8
+N_READS_E2E = 500      # e2e corpus size (reads); ~100 CpG sites per read
 READ_LEN = 6000
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "bench_baseline.json")
+
+# Dense peak of the bench chip, used for the MFU physics gate.  TPU v5 lite
+# (v5e): 197 TFLOP/s bf16.  f32 cannot exceed the bf16 peak on this hardware,
+# so one conservative ceiling serves both dtypes.
+CHIP_PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v4 lite": 138e12,
+}
+DEFAULT_PEAK_FLOPS = 197e12
+
+
+def _chip_peak() -> float:
+    import jax
+    kind = jax.devices()[0].device_kind
+    return CHIP_PEAK_FLOPS.get(kind, DEFAULT_PEAK_FLOPS)
 
 
 def _make_batch(rng, b, k=17, s=360, wire=None):
@@ -68,7 +79,7 @@ def _make_batch(rng, b, k=17, s=360, wire=None):
                 signals=signals.astype(f))
 
 
-def _write_synthetic_reads(f5dir: str, n_reads: int = N_READS,
+def _write_synthetic_reads(f5dir: str, n_reads: int,
                            read_len: int = READ_LEN, seed: int = 1234) -> int:
     """Tombo-layout fast5s with CpGs planted every 60 bases (yeast-like
     density).  Returns the expected motif-site count."""
@@ -91,23 +102,6 @@ def _write_synthetic_reads(f5dir: str, n_reads: int = N_READS,
             lens, "".join(seq), "chr1", 1000 * i, "+" if i % 2 == 0 else "-")
         n_sites += len(pos)
     return n_sites
-
-
-def _jit_infer(cfg):
-    import jax
-    import jax.numpy as jnp
-
-    from deepsignal_tpu.models.deepsignal import DeepSignalNet, predictions
-
-    model = DeepSignalNet(cfg)
-
-    @jax.jit
-    def fn(variables, b):
-        logits = model.apply(variables, b["kmer"].astype(jnp.int32),
-                             b["means"], b["stds"],
-                             b["sanums"], b["signals"], train=False)
-        return jax.nn.sigmoid(logits), predictions(logits, 1.0)
-    return fn
 
 
 def _init_device_variables(cfg):
@@ -133,71 +127,155 @@ def _init_device_variables(cfg):
     return variables
 
 
-def measure_model_rates(cfg, batch=BATCH, wire=None, iters=ITERS,
-                        variables=None) -> dict:
-    """Device-resident sites/s and fresh-h2d model-path ms/batch.
+def measure_serial_model(cfg, batch=DEVICE_BATCH, wire=None,
+                         iters=SERIAL_ITERS, variables=None) -> dict:
+    """Serial-chained device rate + FLOPs/MFU accounting.
 
-    Protocol: every timed call sees UNIQUE batch content — the tunnel
-    backend memoizes repeated (program, args) executions, so cycling a small
-    set of batches reports fantasy numbers.  Each trial generates its own
-    fresh batches.  ``wire`` selects the production ModCaller wire format
-    (int8 kmer / uint16 sanums, f32 or bf16 floats — tests/test_caller.py
-    proves both are exact for their compute paths)."""
+    Protocol: step i+1 perturbs its input by a scalar accumulated from step
+    i's logits, so the XLA dataflow graph forces strictly serial execution —
+    no backend can overlap, memoize, or fan out the chain (each call's
+    inputs depend on the previous call's real output).  The loop is closed
+    by ``float(acc)``: an actual device->host fetch is the only sync
+    primitive trusted through the tunnel (see module docstring).
+    """
     import jax
+    import jax.numpy as jnp
+
+    from deepsignal_tpu.models.deepsignal import DeepSignalNet, predictions
 
     if variables is None:
         variables = _init_device_variables(cfg)
-    fn = _jit_infer(cfg)
+    model = DeepSignalNet(cfg)
+
+    @jax.jit
+    def step(variables, b, acc):
+        means = b["means"] + (acc * 1e-12).astype(b["means"].dtype)
+        logits = model.apply(variables, b["kmer"].astype(jnp.int32), means,
+                             b["stds"], b["sanums"], b["signals"],
+                             train=False)
+        act = jax.nn.sigmoid(logits)
+        pred = predictions(logits, 1.0)
+        return acc + act.astype(jnp.float32).sum() + pred.sum(), act, pred
 
     rng = np.random.default_rng(0)
-    out = fn(variables, jax.device_put(_make_batch(rng, batch, wire=wire)))
-    jax.block_until_ready(out)
+    devs = [jax.device_put(_make_batch(rng, batch, wire=wire))
+            for i in range(iters)]
+    acc = jax.device_put(jnp.float32(0.0))
 
-    # device-resident, unique content per call
-    rates = []
-    for _ in range(TRIALS):
-        devs = [jax.device_put(_make_batch(rng, batch, wire=wire))
-                for _ in range(iters)]
-        jax.block_until_ready(devs)
-        t = time.perf_counter()
-        outs = [fn(variables, d) for d in devs]
-        jax.block_until_ready(outs)
-        rates.append(batch * iters / (time.perf_counter() - t))
-    dev_rate = float(np.median(rates))
+    # flops of the exact compiled step (includes the negligible chain ops)
+    flops_per_site = float("nan")
+    try:
+        ca = step.lower(variables, devs[0], acc).compile().cost_analysis()
+        if ca and "flops" in ca:
+            flops_per_site = float(ca["flops"]) / batch
+    except Exception:
+        pass
 
-    # fresh-content h2d + compute, pipelined one batch ahead
-    rates = []
-    for _ in range(TRIALS):
-        fresh = [_make_batch(rng, batch, wire=wire)
-                 for _ in range(iters + 1)]
-        t = time.perf_counter()
-        outs = []
-        d = jax.device_put(fresh[0])
-        for i in range(iters):
-            nxt = jax.device_put(fresh[i + 1])
-            outs.append(fn(variables, d))
-            d = nxt
-        jax.block_until_ready(outs)
-        rates.append(batch * iters / (time.perf_counter() - t))
-    h2d_rate = float(np.median(rates))
+    # warmup (compile) + one full fetch
+    acc, _, _ = step(variables, devs[0], acc)
+    _ = float(acc)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        acc, _, _ = step(variables, devs[i], acc)
+    final = float(acc)  # real d2h fetch = the only trusted sync
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final), "serial chain produced a non-finite value"
+
+    rate = batch * iters / dt
+    peak = _chip_peak()
+    mfu = rate * flops_per_site / peak if np.isfinite(flops_per_site) \
+        else float("nan")
     return {"batch": batch,
-            "device_sites_per_s": round(dev_rate),
-            "with_h2d_sites_per_s": round(h2d_rate),
-            "ms_per_batch_with_h2d": round(batch / h2d_rate * 1e3, 2)}
+            "serial_ms_per_batch": round(dt / iters * 1e3, 2),
+            "device_sites_per_s": round(rate),
+            "flops_per_site": round(flops_per_site),
+            "mfu": round(mfu, 4),
+            "valid": bool(mfu <= 1.0) if np.isfinite(mfu) else False}
 
 
-def measure_e2e(compute_dtype=None) -> dict:
-    """fast5 dir -> streaming featurize -> jit call -> TSV.
+def measure_h2d_pipelined(cfg, batch=DEVICE_BATCH, wire=None, iters=8,
+                          variables=None, serial_rate=None) -> dict:
+    """Model rate including fresh host->device transfer of every batch,
+    pipelined one batch ahead (the production ModCaller dispatch pattern).
 
-    Two numbers: ``cold`` = one-shot wall clock including checkpoint load,
-    param upload, and jit compile (what a single short CLI run pays);
-    ``warm`` = the same pipeline with the caller already compiled, on FRESH
-    reads (what a long run converges to — compile amortizes away; fresh data
-    because the tunnel memoizes repeated executions).  On this 2-core bench
-    host the warm rate is capped by host featurization, not the chip — see
-    the f32/bf16 model-path fields for the chip-side rate."""
+    Diagnostic only: the loop fetches every output back to the host (the
+    production path also fetches all probabilities), so the measurement is
+    fetch-synced.  ``valid`` additionally requires the rate not to exceed
+    the serial-chained device rate — transfers can at best fully overlap
+    compute, never beat it."""
     import jax
+    import jax.numpy as jnp
 
+    from deepsignal_tpu.models.deepsignal import DeepSignalNet, predictions
+
+    if variables is None:
+        variables = _init_device_variables(cfg)
+    model = DeepSignalNet(cfg)
+
+    @jax.jit
+    def fn(variables, b):
+        logits = model.apply(variables, b["kmer"].astype(jnp.int32),
+                             b["means"], b["stds"], b["sanums"], b["signals"],
+                             train=False)
+        return jax.nn.sigmoid(logits), predictions(logits, 1.0)
+
+    rng = np.random.default_rng(1)
+    out = fn(variables, jax.device_put(_make_batch(rng, batch, wire=wire)))
+    _ = np.asarray(out[0]).sum()  # compile + fetch-sync
+
+    fresh = [_make_batch(rng, batch, wire=wire) for _ in range(iters + 1)]
+    t0 = time.perf_counter()
+    d = jax.device_put(fresh[0])
+    outs = []
+    for i in range(iters):
+        nxt = jax.device_put(fresh[i + 1])
+        outs.append(fn(variables, d))
+        d = nxt
+    got = sum(float(np.asarray(a).astype(np.float64).sum()) for a, _ in outs)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(got)
+
+    rate = batch * iters / dt
+    peak = _chip_peak()
+    valid = True
+    if serial_rate is not None and rate > 1.1 * serial_rate:
+        valid = False  # cannot beat the serial device rate
+    return {"batch": batch,
+            "with_h2d_sites_per_s": round(rate),
+            "ms_per_batch_with_h2d": round(batch / rate * 1e3, 2),
+            "valid": valid}
+
+
+class _MeteredBatches:
+    """Wrap a FeatureBatch iterator, recording first-yield time and site
+    counts so the e2e run can report a steady-state rate that excludes the
+    worker spawn/compile ramp."""
+
+    def __init__(self, it):
+        self.it = it
+        self.t_first = None
+        self.sites_first = 0
+        self.sites = 0
+
+    def __iter__(self):
+        for fb in self.it:
+            if self.t_first is None:
+                self.t_first = time.perf_counter()
+                self.sites_first = len(fb)
+            self.sites += len(fb)
+            yield fb
+
+
+def measure_e2e(compute_dtype=None, n_reads=None) -> dict:
+    """fast5 dir -> streaming featurize -> jit call -> TSV, >=500 reads.
+
+    ``cold`` = one-shot wall clock including checkpoint load, param upload,
+    and jit compile (what a single short CLI run pays); ``warm`` = the same
+    pipeline with the caller already compiled, on FRESH reads (what a long
+    run converges to; fresh data so no tunnel-side caching can flatter it).
+    ``steady_state_sites_per_s`` times from the first featurized batch to
+    the end — excluding worker spawn — which is the long-run rate."""
     from deepsignal_tpu.core.config import FeatureConfig, ModelConfig
     from deepsignal_tpu.models.deepsignal import init_model
     from deepsignal_tpu.runtime.caller import ModCaller, call_mods_on_batches
@@ -208,7 +286,8 @@ def measure_e2e(compute_dtype=None) -> dict:
     tiny = os.environ.get("BENCH_TINY") == "1"
     tmp = tempfile.mkdtemp(prefix="bench_e2e_")
     try:
-        n_reads = 6 if tiny else N_READS
+        if n_reads is None:
+            n_reads = 6 if tiny else N_READS_E2E
         cfg = (ModelConfig(lstm_hidden=128, inception_times=2,
                            inception_blocks=(1, 1, 1)) if tiny
                else ModelConfig())
@@ -230,18 +309,24 @@ def measure_e2e(compute_dtype=None) -> dict:
             if caller is None:  # cold: includes ckpt load + compile
                 ld_cfg, ld_vars = load_checkpoint(ckpt)
                 caller = ModCaller(ld_cfg, ld_vars, batch_size=4096)
-            batches = stream_fast5_feature_batches(
-                f5dir, FeatureConfig(), nproc=3, f5_batch_num=8)
-            n_calls = call_mods_on_batches(caller, batches, out_tsv)
-            dt = time.perf_counter() - t0
+            metered = _MeteredBatches(stream_fast5_feature_batches(
+                f5dir, FeatureConfig(), nproc=3, f5_batch_num=25))
+            n_calls = call_mods_on_batches(caller, metered, out_tsv)
+            t_end = time.perf_counter()
+            dt = t_end - t0
             assert n_calls >= 0.9 * n_sites_exp, (n_calls, n_sites_exp)
-            return caller, n_calls, dt
+            steady = ((metered.sites - metered.sites_first)
+                      / max(t_end - metered.t_first, 1e-9)
+                      if metered.t_first is not None else 0.0)
+            shutil.rmtree(f5dir, ignore_errors=True)
+            return caller, n_calls, dt, steady
 
-        caller, n_calls, dt_cold = one_run("cold")
-        _, n_calls_w, dt_warm = one_run("warm", caller)
+        caller, n_calls, dt_cold, _ = one_run("cold")
+        _, n_calls_w, dt_warm, steady = one_run("warm", caller)
         return {"reads_per_s_cold": round(n_reads / dt_cold, 2),
                 "reads_per_s_warm": round(n_reads / dt_warm, 2),
                 "sites_per_s_warm": round(n_calls_w / dt_warm),
+                "steady_state_sites_per_s": round(steady),
                 "wall_s_cold": round(dt_cold, 2),
                 "wall_s_warm": round(dt_warm, 2),
                 "reads": n_reads, "sites": n_calls_w}
@@ -249,22 +334,28 @@ def measure_e2e(compute_dtype=None) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def measure_featurize_only() -> dict:
+def measure_featurize_scaling(nprocs=(1, 2, 4), n_reads=64) -> dict:
+    """Host featurization rate at several worker counts (the chip-feeding
+    capacity of this host), measured through the production streaming
+    pipeline.  Note the bench host has only `os.cpu_count()` cores — rates
+    beyond that are oversubscribed and reported for completeness."""
     from deepsignal_tpu.core.config import FeatureConfig
-    from deepsignal_tpu.core.constants import get_motif_seqs
-    from deepsignal_tpu.featurize.extractor import extract_fast5_batch
-    from deepsignal_tpu.io.fast5 import get_fast5s
+    from deepsignal_tpu.runtime.pipeline import stream_fast5_feature_batches
 
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    if tiny:
+        nprocs, n_reads = (1,), 6
     tmp = tempfile.mkdtemp(prefix="bench_feat_")
     try:
-        _write_synthetic_reads(tmp, n_reads=16)
-        files = sorted(get_fast5s(tmp))
-        motifs = get_motif_seqs("CG")
-        t0 = time.perf_counter()
-        feats, _ = extract_fast5_batch(files, motifs, FeatureConfig())
-        dt = time.perf_counter() - t0
-        sites = sum(len(f.kmers) for f in feats)
-        return {"featurize_sites_per_s_1proc": round(sites / dt)}
+        _write_synthetic_reads(tmp, n_reads=n_reads)
+        out = {"cores": os.cpu_count()}
+        for np_ in nprocs:
+            t0 = time.perf_counter()
+            sites = sum(len(fb) for fb in stream_fast5_feature_batches(
+                tmp, FeatureConfig(), nproc=np_ + 1, f5_batch_num=8))
+            dt = time.perf_counter() - t0
+            out[f"sites_per_s_{np_}proc"] = round(sites / dt)
+        return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -273,7 +364,7 @@ def measure_torch_cpu_sites_per_s(max_seconds: float = 240.0) -> float:
     """torch-CPU stand-in for the TF1-CPU reference: same tensor shapes and
     layer inventory (embedding 1024x128, 3-layer bidirectional LSTM h=256,
     stem convs + 11 five-branch inception blocks at 240 ch, 6032x6032 joint
-    head)."""
+    head, no activation between the two joint FC layers — layers.py:256-263)."""
     import torch
     import torch.nn as nn
 
@@ -345,7 +436,9 @@ def measure_torch_cpu_sites_per_s(max_seconds: float = 240.0) -> float:
             event = torch.cat([out[:, -1, :256], out[:, 0, 256:]], dim=1)
             sig = self.avg(self.blocks(self.stem(signals[:, None, :])))
             joint = torch.cat([event, sig.flatten(1)], dim=1)
-            return self.fc2(torch.relu(self.fc1(joint)))
+            # Joint_model: FC -> dropout -> FC (no inter-layer activation,
+            # reference layers.py:256-263); dropout is a no-op at inference.
+            return self.fc2(self.fc1(joint))
 
     net = RefNet().eval()
     rng = np.random.default_rng(0)
@@ -366,10 +459,12 @@ def measure_torch_cpu_sites_per_s(max_seconds: float = 240.0) -> float:
 def get_baseline_sites_per_s() -> float:
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)["torch_cpu_sites_per_s"]
+            cached = json.load(f)
+            if cached.get("net_version") == 2:  # v2: no fc1 ReLU (parity)
+                return cached["torch_cpu_sites_per_s"]
     rate = measure_torch_cpu_sites_per_s()
     with open(BASELINE_CACHE, "w") as f:
-        json.dump({"torch_cpu_sites_per_s": rate,
+        json.dump({"torch_cpu_sites_per_s": rate, "net_version": 2,
                    "note": "torch-CPU stand-in for TF1-CPU reference, "
                            f"batch {BATCH}, {os.cpu_count()} cores"}, f)
     return rate
@@ -385,7 +480,7 @@ def main() -> int:
                  inception_blocks=(1, 1, 1)) if tiny else {})
 
     extras = {}
-    extras.update(measure_featurize_only())
+    extras["featurize"] = measure_featurize_scaling()
 
     cfg32 = ModelConfig(**size)
     cfg16 = ModelConfig(compute_dtype="bfloat16", matmul_precision="default",
@@ -394,36 +489,52 @@ def main() -> int:
     # shared device-resident variables: the joint head alone is ~145 MB and
     # re-uploading it per config through the tunnel dominates bench runtime
     variables = _init_device_variables(cfg32)
-    # f32 parity path at the production wire format + TPU-tuned batch
-    f32 = measure_model_rates(cfg32, batch=dev_batch, wire="f32", iters=4,
-                              variables=variables)
-    extras["f32"] = f32
-    extras["bf16"] = measure_model_rates(cfg16, batch=dev_batch, wire="bf16",
-                                         iters=4, variables=variables)
-    # reference-parity batch size, for continuity with earlier rounds
-    extras["f32_b512"] = measure_model_rates(cfg32, batch=(64 if tiny
-                                                           else BATCH),
-                                             wire="f32",
-                                             variables=variables)
+
+    # serial-chained chip rates (the physics-gated ground truth)
+    f32 = measure_serial_model(cfg32, batch=dev_batch, wire="f32",
+                               variables=variables)
+    bf16 = measure_serial_model(cfg16, batch=dev_batch, wire="bf16",
+                                variables=variables)
+    f32_512 = measure_serial_model(cfg32, batch=(64 if tiny else BATCH),
+                                   wire="f32", variables=variables)
+    extras["model_f32"] = f32
+    extras["model_bf16"] = bf16
+    extras["model_f32_b512"] = f32_512
+
+    # production dispatch pattern (h2d included), capped by the serial rate
+    extras["model_f32_h2d"] = measure_h2d_pipelined(
+        cfg32, batch=dev_batch, wire="f32", variables=variables,
+        serial_rate=f32["device_sites_per_s"])
+    extras["model_bf16_h2d"] = measure_h2d_pipelined(
+        cfg16, batch=dev_batch, wire="bf16", variables=variables,
+        serial_rate=bf16["device_sites_per_s"])
 
     extras["e2e"] = measure_e2e()
     extras["e2e_bf16"] = measure_e2e(compute_dtype="bfloat16")
 
+    # chip-feeding requirement: featurize workers needed to saturate one chip
+    feat1 = extras["featurize"].get("sites_per_s_1proc", 0)
+    if feat1 and bf16["valid"]:
+        extras["featurize"]["procs_to_saturate_chip_bf16"] = round(
+            bf16["device_sites_per_s"] / feat1, 1)
+    if feat1 and f32["valid"]:
+        extras["featurize"]["procs_to_saturate_chip_f32"] = round(
+            f32["device_sites_per_s"] / feat1, 1)
+
     baseline = get_baseline_sites_per_s()
-    # primary: the chip-side call_mods rate (model inference incl. fresh
-    # host->device transfer, unique content every call, f32 parity path,
-    # production wire format + TPU-tuned device batch) at ~100 CpG sites
-    # per read.  The e2e fields give the whole-pipeline rate, which on this
-    # 2-core bench host is capped by featurization, not the chip
-    # (featurize_sites_per_s_1proc vs f32.with_h2d_sites_per_s).
-    sites_per_s = f32["with_h2d_sites_per_s"]
-    # sites-per-read measured from the synthetic corpus (not modeled)
-    spr = extras["e2e"]["sites"] / extras["e2e"]["reads"]
+    # primary: the measured end-to-end rate (fast5 -> calls TSV) on the
+    # >=500-read corpus, warm.  On this 2-core bench host it is capped by
+    # host featurization, NOT the chip — the model_* fields carry the
+    # physics-gated chip-side rates and the featurize table shows the
+    # workers-per-chip requirement on a production host.
+    e2e = extras["e2e"]
+    sites_per_s = e2e["sites_per_s_warm"]
     print(json.dumps({
-        "metric": "call_mods_reads_per_s_per_chip",
-        "value": round(sites_per_s / spr, 1),
+        "metric": "call_mods_reads_per_s_e2e",
+        "value": e2e["reads_per_s_warm"],
         "unit": "reads/s",
         "vs_baseline": round(sites_per_s / baseline, 2),
+        "chip_peak_flops": _chip_peak(),
         **extras,
     }))
     return 0

@@ -123,9 +123,11 @@ def main_train(args) -> None:
         batch_size=args.batch_size, learning_rate=args.learning_rate,
         decay_rate=args.decay_rate, keep_prob=args.keep_prob,
         max_epoch_num=args.max_epoch_num, min_epoch_num=args.min_epoch_num,
-        display_step=args.display_step, pos_weight=args.pos_weight)
+        display_step=args.display_step, pos_weight=args.pos_weight,
+        seed=args.seed)
     train(args.train_file, args.valid_file, args.model_dir, args.log_dir,
-          mcfg, tcfg, is_binary=str2bool(args.is_binary), mesh=make_mesh())
+          mcfg, tcfg, is_binary=str2bool(args.is_binary), mesh=make_mesh(),
+          resume=str2bool(args.resume))
 
 
 def main_denoise(args) -> None:
@@ -422,6 +424,14 @@ def build_parser() -> argparse.ArgumentParser:
                    required=False)
     p.add_argument("--pos_weight", action="store", default=1.0, type=float,
                    required=False)
+    p.add_argument("--seed", action="store", default=42, type=int,
+                   required=False,
+                   help="init/dropout/shuffle RNG seed (reproducible runs)")
+    p.add_argument("--resume", action="store", type=str, required=False,
+                   default="no", choices=["yes", "no"],
+                   help="continue from the rolling train-state checkpoint in "
+                        "model_dir (params + optimizer + RNG + shuffle "
+                        "stream); reproduces an unbroken run exactly")
     p.set_defaults(func=main_train)
 
     # ---- denoise ----------------------------------------------------------
@@ -618,14 +628,20 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+# Subcommands that jit model code; every other subcommand is host-only and
+# must not pay the jax import / accelerator-plugin bootstrap at startup.
+_JAX_SUBCOMMANDS = {"call_mods", "train", "denoise"}
+
+
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
     if getattr(args, "func", None) is None:
         parser.print_help()
         return 1
-    _apply_platform_override()
-    _enable_compile_cache()
+    if getattr(args, "command", None) in _JAX_SUBCOMMANDS:
+        _apply_platform_override()
+        _enable_compile_cache()
     args.func(args)
     return 0
 

@@ -58,6 +58,69 @@ def get_central_signals(signals_list: list, rawsignal_num: int = 360,
     return np.append(before[-want_l:], after[:want_r])
 
 
+def central_signals_batch(norm_signals: np.ndarray, starts: np.ndarray,
+                          lengths: np.ndarray, win: np.ndarray,
+                          rawsignal_num: int = 360,
+                          rng: Optional[random.Random] = None) -> np.ndarray:
+    """Vectorized central-signal rule for ALL sites of a read at once.
+
+    ``win`` is the [S, K] event-index window matrix the extractor already
+    builds; every output row follows the exact reference rule
+    (extract_features.py:154-190).  The two common cases (short window ->
+    zero-pad; split around the middle base) reduce to one contiguous slice
+    per site — computed as a single [S, L] fancy-index gather — because tombo
+    event segments are contiguous in the raw signal.  The rare oversized-
+    middle-base case (mid_len >= L, needs a random subsample) falls back to
+    the scalar rule per affected site, consuming ``rng`` in site order so
+    byte-parity with the per-site loop is preserved
+    (tests/test_ref_parity.py).
+    """
+    S, K = win.shape
+    L = rawsignal_num
+    mid = (K - 1) // 2
+    arange_l = np.arange(L, dtype=np.int64)
+
+    win_start = starts[win[:, 0]]
+    win_end = starts[win[:, -1]] + lengths[win[:, -1]]
+    total = win_end - win_start
+    mid_start = starts[win[:, mid]]
+    mid_len = lengths[win[:, mid]]
+
+    # split case: budget around the middle base, clamped to each side
+    left_len = (L - mid_len) // 2
+    right_len = L - left_len
+    n_left = mid_start - win_start
+    n_right = win_end - mid_start
+    over_l = left_len > n_left
+    right_len = np.where(over_l, right_len + left_len - n_left, right_len)
+    left_len = np.where(over_l, n_left, left_len)
+    over_r = (right_len > n_right) & ~over_l
+    left_len = np.where(over_r, left_len + right_len - n_right, left_len)
+    right_len = np.where(over_r, n_right, right_len)
+    slice_start = mid_start - left_len
+    valid = np.full(S, L, dtype=np.int64)
+
+    # short-window case: start at the window, zero-pad the tail
+    short = total < L
+    slice_start = np.where(short, win_start, slice_start)
+    valid = np.where(short, total, valid)
+
+    idx = slice_start[:, None] + arange_l[None, :]
+    mask = arange_l[None, :] >= valid[:, None]
+    np.clip(idx, 0, norm_signals.shape[0] - 1, out=idx)
+    out = norm_signals[idx].astype(np.float64, copy=False)
+    if mask.any():
+        out[mask] = 0.0
+
+    oversized = mid_len >= L  # disjoint from ``short`` (mid is in the window)
+    if oversized.any():
+        for i in np.nonzero(oversized)[0]:
+            w = win[i]
+            out[i] = central_signals_flat(norm_signals, starts[w],
+                                          lengths[w], L, rng)
+    return out
+
+
 def central_signals_flat(norm_signals: np.ndarray, seg_starts: np.ndarray,
                          seg_lens: np.ndarray, rawsignal_num: int = 360,
                          rng: Optional[random.Random] = None) -> np.ndarray:

@@ -20,7 +20,7 @@ from ..core.config import FeatureConfig
 from ..core.constants import KEY_SEP, decode_seq, encode_seq, motif_sites_in_seq
 from ..io.fast5 import ResquiggledRead, read_resquiggled_fast5
 from ..io.feature_codec import format_feature_row
-from .central import central_signals_flat
+from .central import central_signals_batch
 from .signal import normalize_signals, rescale_signals, segment_stats
 
 
@@ -125,12 +125,8 @@ def extract_read_features(read: ResquiggledRead, motif_seqs: list,
     stds = ev_stds[win]
     lens = lengths[win]
 
-    cent = np.empty((tsite_locs.shape[0], cfg.cent_signals_len),
-                    dtype=np.float64)
-    for i, loc in enumerate(tsite_locs):
-        w = win[i]
-        cent[i] = central_signals_flat(norm, starts[w], lengths[w],
-                                       cfg.cent_signals_len, rng)
+    cent = central_signals_batch(norm, starts, lengths, win,
+                                 cfg.cent_signals_len, rng)
 
     return ReadFeatures(
         chrom=read.chrom, align_strand=read.align_strand,

@@ -100,11 +100,17 @@ def read_resquiggled_fast5(fast5_path: str,
             rel = events.attrs["read_start_rel_to_raw"]
         except KeyError as e:
             raise KeyError("no read_start_rel_to_raw in event attributes") from e
-        starts = np.asarray(events["start"], dtype=np.int64) + int(rel)
-        lengths = np.asarray(events["length"], dtype=np.int64)
-        bases = events["base"]
-        seq = b"".join(bases.astype("S1").tolist()).decode("utf-8") \
-            if bases.dtype.kind == "S" else "".join(_decode_attr(b) for b in bases)
+        ev = events[()]  # one HDF5 read for all fields (start/length/base)
+        starts = np.asarray(ev["start"], dtype=np.int64) + int(rel)
+        lengths = np.asarray(ev["length"], dtype=np.int64)
+        bases = ev["base"]
+        if bases.dtype.kind == "S":
+            # fixed-width byte strings: the buffer IS the concatenated seq
+            seq = bases.tobytes().decode("utf-8") \
+                if bases.dtype.itemsize == 1 \
+                else b"".join(bases.tolist()).decode("utf-8")
+        else:
+            seq = "".join(_decode_attr(b) for b in bases)
 
         # alignment attrs (extract_features.py:75-105)
         align_attrs = h5[strand_path + "/Alignment"].attrs

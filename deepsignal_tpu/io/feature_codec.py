@@ -175,17 +175,26 @@ def iter_feature_bytes_chunks(path: str, chunk_bytes: int = 8 << 20):
 
 
 def iter_feature_batches_by_read(features_file: str,
-                                 reads_per_batch: int = 50) -> Iterator[FeatureBatch]:
+                                 reads_per_batch: int = 50,
+                                 host_shard=None) -> Iterator[FeatureBatch]:
     """Stream a feature TSV grouped by read.
 
     Reproduces ``_read_features_file`` (call_modifications.py:35-91): rows for
     one read stay contiguous within a batch; a batch is emitted whenever
     ``reads_per_batch`` distinct reads have completed (the v0.1.10 read-
     grouping contract).
+
+    ``host_shard=(k, n)`` keeps only every n-th read-grouped batch starting
+    at k — the multi-host stride partition for feature-TSV input (every host
+    computes the same global grouping, so shards are disjoint and their union
+    is exactly the single-host batch stream).  Non-owned batches are never
+    parsed, only line-grouped.
     """
+    k, n = host_shard if host_shard is not None else (0, 1)
     pending: list[str] = []
     readid_pre: Optional[str] = None
     r_num = 0
+    b_num = 0
     with open(features_file, "r") as rf:
         for line in rf:
             readid = line.split("\t", 5)[4]
@@ -195,10 +204,13 @@ def iter_feature_batches_by_read(features_file: str,
                 r_num += 1
                 readid_pre = readid
                 if r_num % reads_per_batch == 0:
-                    yield parse_feature_lines(pending)
+                    if b_num % n == k:
+                        yield parse_feature_lines(pending)
+                    b_num += 1
                     pending = []
-            pending.append(line)
-    if pending:
+            if b_num % n == k:
+                pending.append(line)
+    if pending and b_num % n == k:
         yield parse_feature_lines(pending)
 
 

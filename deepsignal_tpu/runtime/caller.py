@@ -45,6 +45,7 @@ class ModCaller:
         self.batch_size = batch_size
         self.mesh = mesh
         self.model = DeepSignalNet(cfg)
+        self._warned_sanums = False
         self._wire_f = (np.dtype(jnp.bfloat16)
                         if jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
                         else np.dtype(np.float32))
@@ -79,7 +80,16 @@ class ModCaller:
             self._data = None
 
     def _pack(self, kmer, means, stds, sanums, signals):
-        """Pack a padded fixed-shape batch into the compact wire format."""
+        """Pack a padded fixed-shape batch into the compact wire format.
+
+        sanums ride as uint16 — the same range as the reference's ``<u2``
+        binary feature record (SURVEY.md §2.5), so overflow is pathological
+        input; it is clipped to keep the batch scoring but surfaced once."""
+        if np.max(sanums, initial=0) > 65535 and not self._warned_sanums:
+            self._warned_sanums = True
+            print("warning: per-base signal count > 65535 clipped to the "
+                  "uint16 wire range (matches the reference's <u2 binary "
+                  "record limit)")
         wf = self._wire_f
         return (np.ascontiguousarray(kmer, dtype=np.int8),
                 np.ascontiguousarray(means, dtype=wf),
@@ -231,9 +241,10 @@ def run_call_mods(input_path: str, model_path: str, result_file: str,
     caller, write the 10-column call TSV.  Returns the call count.
 
     Multi-host: when launched under ``jax.distributed`` (process_count > 1)
-    each host consumes its stride shard of the fast5 list and writes
-    ``<result_file>.part<k>-of-<n>`` (merge with parallel.dist or feed the
-    shards straight to call_freq)."""
+    each host consumes its stride shard of the input — of the fast5 list for
+    dir input, of the read-grouped batch stream for feature-TSV input — and
+    writes ``<result_file>.part<k>-of-<n>`` (merge with parallel.dist or feed
+    the shards straight to call_freq)."""
     import os
     import time
 
@@ -281,7 +292,9 @@ def run_call_mods(input_path: str, model_path: str, result_file: str,
             position_file=position_file, is_recursive=is_recursive,
             host_shard=(jax.process_index(), n_hosts))
     else:
-        batches = stream_file_feature_batches(input_path, f5_batch_num)
+        batches = stream_file_feature_batches(
+            input_path, f5_batch_num,
+            host_shard=(jax.process_index(), n_hosts))
 
     meter = ThroughputMeter("call_mods")
     with trace(profile_dir):
@@ -311,7 +324,7 @@ def call_mods_on_batches(caller: ModCaller,
 
     count = 0
     in_flight: deque = deque()
-    last_read = [None]  # dedupe read count across coalesced-batch splits
+    seen_reads: set = set()  # exact read accounting: first appearance counts
     with open(out_path, "w") as wf:
         def drain_one():
             nonlocal count
@@ -322,10 +335,11 @@ def call_mods_on_batches(caller: ModCaller,
                 wf.write(r + "\n")
             count += len(rows)
             if meter is not None and fb.sampleinfo:
-                read_ids = {s.split("\t", 5)[4] for s in fb.sampleinfo}
-                n_reads = len(read_ids - {last_read[0]})
-                last_read[0] = fb.sampleinfo[-1].split("\t", 5)[4]
-                meter.update(sites=len(rows), reads=n_reads)
+                n_before = len(seen_reads)
+                seen_reads.update(s.split("\t", 5)[4]
+                                  for s in fb.sampleinfo)
+                meter.update(sites=len(rows),
+                             reads=len(seen_reads) - n_before)
             wf.flush()
 
         for fb in coalesce_feature_batches(batches, caller.batch_size):

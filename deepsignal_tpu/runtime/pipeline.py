@@ -52,13 +52,28 @@ class _host_worker_env:
     can never touch the TPU.  The parent env is restored on exit (spawned
     children snapshot the env at ``Process.start``)."""
 
+    @staticmethod
+    def _is_accel_hook(entry: str) -> bool:
+        """True only for PYTHONPATH entries whose sitecustomize.py is an
+        accelerator-plugin bootstrap (imports jax / registers a backend);
+        a sitecustomize that merely tweaks paths must survive, as must
+        empty entries (which mean cwd)."""
+        if not entry:
+            return False
+        sc = os.path.join(entry, "sitecustomize.py")
+        try:
+            with open(sc, "r", errors="replace") as f:
+                head = f.read(8192)
+        except OSError:
+            return False
+        return ("jax" in head or "axon" in head
+                or "register" in head and "PJRT" in head)
+
     def __enter__(self):
         self._saved = {k: os.environ.get(k)
                        for k in ("PYTHONPATH", "JAX_PLATFORMS")}
         entries = os.environ.get("PYTHONPATH", "").split(os.pathsep)
-        keep = [e for e in entries
-                if e and not os.path.exists(os.path.join(e,
-                                                         "sitecustomize.py"))]
+        keep = [e for e in entries if not self._is_accel_hook(e)]
         os.environ["PYTHONPATH"] = os.pathsep.join(keep)
         os.environ["JAX_PLATFORMS"] = "cpu"
         return self
@@ -328,25 +343,30 @@ def stream_fast5_feature_batches(fast5_dir: str, cfg: FeatureConfig,
     print(msg)
 
 
-def _file_reader_proc(features_file: str, batch_q, reads_per_batch: int):
-    for fb in iter_feature_batches_by_read(features_file, reads_per_batch):
+def _file_reader_proc(features_file: str, batch_q, reads_per_batch: int,
+                      host_shard=None):
+    for fb in iter_feature_batches_by_read(features_file, reads_per_batch,
+                                           host_shard):
         batch_q.put(fb)
     batch_q.put(None)
 
 
 def stream_file_feature_batches(features_file: str, reads_per_batch: int = 50,
-                                background: bool = True
+                                background: bool = True, host_shard=None
                                 ) -> Iterator[FeatureBatch]:
     """Read-grouped TSV streaming, optionally in a background reader process
-    (call_modifications.py:450-455)."""
+    (call_modifications.py:450-455).  ``host_shard=(k, n)`` takes every n-th
+    read-grouped batch starting at k — the multi-host stride partition
+    (io.feature_codec.iter_feature_batches_by_read)."""
     if not background:
         yield from iter_feature_batches_by_read(features_file,
-                                                reads_per_batch)
+                                                reads_per_batch, host_shard)
         return
     ctx = mp.get_context("spawn")
     batch_q = ctx.Queue(maxsize=QUEUE_MAX_BATCHES)
     reader = ctx.Process(target=_file_reader_proc,
-                         args=(features_file, batch_q, reads_per_batch),
+                         args=(features_file, batch_q, reads_per_batch,
+                               host_shard),
                          daemon=True)
     with _host_worker_env():
         reader.start()

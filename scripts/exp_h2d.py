@@ -33,16 +33,16 @@ def make_batch(rng, b, wire="f32"):
     raise ValueError(wire)
 
 
-def build(cfg, unpack):
+def build(cfg, compute_dtype):
     model = DeepSignalNet(cfg)
 
     @jax.jit
     def fn(variables, b):
         kmer = b["kmer"].astype(jnp.int32)
-        sanums = b["sanums"].astype(cfg_dtype)
-        means = b["means"].astype(cfg_dtype)
-        stds = b["stds"].astype(cfg_dtype)
-        signals = b["signals"].astype(cfg_dtype)
+        sanums = b["sanums"].astype(compute_dtype)
+        means = b["means"].astype(compute_dtype)
+        stds = b["stds"].astype(compute_dtype)
+        signals = b["signals"].astype(compute_dtype)
         logits = model.apply(variables, kmer, means, stds, sanums,
                              signals, train=False)
         return jax.nn.sigmoid(logits), predictions(logits, 1.0)
@@ -67,9 +67,9 @@ def init_vars(cfg):
 
 def run(cfg, variables, wire, batch, iters=8, depth=1):
     rng = np.random.default_rng(0)
-    global cfg_dtype
-    cfg_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    fn = build(cfg, wire)
+    compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                     else jnp.float32)
+    fn = build(cfg, compute_dtype)
     # warmup/compile
     out = fn(variables, jax.device_put(make_batch(rng, batch, wire)))
     jax.block_until_ready(out)
@@ -108,10 +108,3 @@ if __name__ == "__main__":
     run(cfg32, v, "packed", 2048, depth=2)
     run(cfg16, v, "bf16", 2048, depth=2)
 
-def sweep_big():
-    cfg32 = ModelConfig()
-    v = init_vars(cfg32)
-    cfg16 = ModelConfig(compute_dtype="bfloat16", matmul_precision="default")
-    for batch in (8192, 16384):
-        run(cfg32, v, "packed", batch, iters=4)
-        run(cfg16, v, "bf16", batch, iters=4)

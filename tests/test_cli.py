@@ -97,3 +97,66 @@ def test_filter_label_cli(tmp_path):
     assert main(["filter_label", "-i", str(f), "-o", str(out),
                  "--label", "0"]) == 0
     assert out.read_text() == "c\td\t0\n"
+
+
+def _train_cli_rows(rng, n, k=5, s=24):
+    """Separable synthetic feature rows for the train-CLI tests."""
+    bases = np.array(list("ACGT"))
+    rows = []
+    for i in range(n):
+        label = int(rng.integers(0, 2))
+        shift = 1.0 if label else -1.0
+        kmer = "".join(bases[rng.integers(0, 4, k)])
+        means = np.around(rng.normal(shift, 0.3, k), 6)
+        stds = np.around(np.abs(rng.normal(0, 0.3, k)), 6)
+        lens = rng.integers(1, 30, k)
+        cent = np.around(rng.normal(shift, 0.3, s), 6)
+        rows.append("\t".join(
+            ["chr1", str(i), "+", str(i), f"read{i // 5}", "t", kmer,
+             ",".join(map(str, means)), ",".join(map(str, stds)),
+             ",".join(str(int(x)) for x in lens),
+             ",".join(map(str, cent)), str(label)]))
+    return rows
+
+
+def test_train_parser_resume_seed_flags():
+    parser = build_parser()
+    args = parser.parse_args(["train", "--train_file", "a", "--valid_file",
+                              "b", "-o", "m"])
+    assert args.resume == "no" and args.seed == 42
+    args = parser.parse_args(["train", "--train_file", "a", "--valid_file",
+                              "b", "-o", "m", "--resume", "yes",
+                              "--seed", "7"])
+    assert args.resume == "yes" and args.seed == 7
+
+
+def test_train_cli_resume_matches_unbroken(tmp_path, rng):
+    """CLI-level: an interrupted (1-epoch) run continued with --resume yes
+    must reproduce an unbroken 3-epoch run bit-for-bit (train_state blobs)."""
+    import os
+    train_f = tmp_path / "train.tsv"
+    valid_f = tmp_path / "valid.tsv"
+    train_f.write_text("\n".join(_train_cli_rows(rng, 64)) + "\n")
+    valid_f.write_text("\n".join(_train_cli_rows(rng, 16)) + "\n")
+
+    def run(model_dir, max_epochs, resume):
+        argv = ["train", "--train_file", str(train_f),
+                "--valid_file", str(valid_f), "-o", model_dir,
+                "--kmer_len", "5", "--cent_signals_len", "24",
+                "--batch_size", "16", "--max_epoch_num", str(max_epochs),
+                "--min_epoch_num", "3", "--display_step", "2",
+                "--seed", "7"]
+        if resume:
+            argv += ["--resume", "yes"]
+        assert main(argv) == 0
+
+    dir_a = str(tmp_path / "unbroken")
+    run(dir_a, 3, resume=False)
+    dir_b = str(tmp_path / "resumed")
+    run(dir_b, 1, resume=False)   # "killed" after epoch 0
+    run(dir_b, 3, resume=True)    # continue
+
+    for blob in ("variables.msgpack", "train_state.msgpack"):
+        a = open(os.path.join(dir_a, "train_state.ckpt", blob), "rb").read()
+        b = open(os.path.join(dir_b, "train_state.ckpt", blob), "rb").read()
+        assert a == b, f"{blob} differs between resumed and unbroken runs"

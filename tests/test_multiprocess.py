@@ -73,6 +73,24 @@ def _make_binary_train_file(path, rng, n_rows=BATCH * STEPS):
     rec.tofile(path)
 
 
+def _extract_features_tsv(f5_dir, tsv_path):
+    """In-process extraction: fast5 dir -> 12-col feature TSV shared by all
+    workers (file-mode input must be identical across hosts)."""
+    from deepsignal_tpu.core.config import FeatureConfig
+    from deepsignal_tpu.core.constants import get_motif_seqs
+    from deepsignal_tpu.featurize.extractor import extract_fast5_batch
+    from deepsignal_tpu.io.fast5 import get_fast5s
+    fcfg = FeatureConfig(kmer_len=TINY["kmer_len"],
+                         cent_signals_len=TINY["cent_signals_len"])
+    feats, errs = extract_fast5_batch(sorted(get_fast5s(f5_dir)),
+                                      get_motif_seqs("CG"), fcfg)
+    assert errs == 0
+    with open(tsv_path, "w") as wf:
+        for fr in feats:
+            for row in fr.to_tsv_rows():
+                wf.write(row + "\n")
+
+
 def _write_tiny_checkpoint(path):
     from deepsignal_tpu.core.config import ModelConfig
     from deepsignal_tpu.models.deepsignal import init_model
@@ -137,6 +155,13 @@ def _worker_main(pid: int, port: int, workdir: str) -> None:
                   os.path.join(workdir, "calls_mp.tsv"),
                   fcfg, batch_size=BATCH, nproc=2, f5_batch_num=2)
 
+    # -- part A2: sharded call_mods over a feature TSV (stride shard of the
+    #    read-grouped batch stream; every host must NOT score the whole file)
+    run_call_mods(os.path.join(workdir, "features.tsv"),
+                  os.path.join(workdir, "ckpt"),
+                  os.path.join(workdir, "calls_file_mp.tsv"),
+                  fcfg, batch_size=BATCH, nproc=2, f5_batch_num=2)
+
     # -- part B: global-mesh training steps (put_batch + psum'd counts)
     mesh = make_mesh()
     assert len(mesh.devices.flat) == 4
@@ -160,6 +185,8 @@ def mp_run(tmp_path_factory):
     _make_fast5_dir(os.path.join(workdir, "f5"), rng)
     _make_binary_train_file(os.path.join(workdir, "train.bin"), rng)
     _write_tiny_checkpoint(os.path.join(workdir, "ckpt"))
+    _extract_features_tsv(os.path.join(workdir, "f5"),
+                          os.path.join(workdir, "features.tsv"))
 
     port = _free_port()
     env = dict(os.environ)
@@ -205,6 +232,35 @@ def test_two_process_call_mods_matches_single_process(mp_run, tmp_path):
     # the workers run 2-device local meshes while this process runs the
     # conftest's 8-device mesh, so per-device matmul shapes (and hence XLA's
     # reduction blocking) differ — last-ulp drift is expected and allowed.
+    for got, want in zip(merged_lines, single_lines):
+        g, w = got.split(b"\t"), want.split(b"\t")
+        assert g[:6] == w[:6] and g[8:] == w[8:], (got, want)
+        for gp, wp in zip(g[6:8], w[6:8]):
+            assert float(gp) == pytest.approx(float(wp), abs=3e-7), \
+                (got, want)
+
+
+def test_two_process_file_mode_matches_single_process(mp_run, tmp_path):
+    """Feature-TSV input: the merged 2-host shards equal one single-process
+    run — no duplicated calls (each host scores only its stride shard of the
+    read-grouped batch stream)."""
+    from deepsignal_tpu.core.config import FeatureConfig
+    from deepsignal_tpu.parallel.dist import merge_call_shards
+    from deepsignal_tpu.runtime.caller import run_call_mods
+
+    merged = merge_call_shards(os.path.join(mp_run, "calls_file_mp.tsv"), 2)
+
+    single = str(tmp_path / "calls_file_single.tsv")
+    fcfg = FeatureConfig(kmer_len=TINY["kmer_len"],
+                         cent_signals_len=TINY["cent_signals_len"])
+    run_call_mods(os.path.join(mp_run, "features.tsv"),
+                  os.path.join(mp_run, "ckpt"), single, fcfg,
+                  batch_size=BATCH, nproc=2, f5_batch_num=2)
+
+    merged_lines = sorted(open(merged, "rb").read().splitlines())
+    single_lines = sorted(open(single, "rb").read().splitlines())
+    assert merged_lines, "no calls produced"
+    assert len(merged_lines) == len(single_lines)
     for got, want in zip(merged_lines, single_lines):
         g, w = got.split(b"\t"), want.split(b"\t")
         assert g[:6] == w[:6] and g[8:] == w[8:], (got, want)
