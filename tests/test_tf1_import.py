@@ -69,3 +69,93 @@ def test_npz_roundtrip(tmp_path):
     np.savez(str(npz), **arrs)
     back = import_tf1_npz(str(npz), TINY)
     _tree_equal(back["params"], jax.device_get(variables["params"]))
+
+
+def _load_fixture():
+    import json
+    import os
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "tf1_variables_bn17_sn360.json")
+    with open(path) as f:
+        return json.load(f)["variables"]
+
+
+def _synth_arrays(fixture):
+    """Deterministic synthetic arrays with the exact reference names+shapes
+    (tf.train.list_variables layout of the published checkpoint)."""
+    rng = np.random.default_rng(99)
+    return {name: rng.normal(0, 0.1, shape).astype(np.float32)
+            for name, shape in fixture.items()}
+
+
+def _shape_tree(tree, path=""):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out[k] = _shape_tree(v, path + "/" + str(k))
+        else:
+            out[k] = tuple(np.shape(v))
+    return out
+
+
+def test_import_from_reference_name_fixture():
+    """Import a full-size synthetic checkpoint carrying the EXACT variable
+    names+shapes of the published TF1 model (fixture derived from the
+    reference graph construction, model.py:27-63 / layers.py:20-264) —
+    independent of export_tf1_style_arrays."""
+    import jax.numpy as jnp
+    from deepsignal_tpu.models.deepsignal import DeepSignalNet
+
+    fixture = _load_fixture()
+    arrs = _synth_arrays(fixture)
+    cfg = ModelConfig()  # full default bn17/sn360 config
+    imported = import_tf1_arrays(arrs, cfg)
+
+    # expected tree WITHOUT materializing the 40M-param model: eval_shape
+    model = DeepSignalNet(cfg)
+    k, s = cfg.kmer_len, cfg.cent_signals_len
+    dummy = dict(kmer=jnp.zeros((2, k), jnp.int32),
+                 means=jnp.zeros((2, k), jnp.float32),
+                 stds=jnp.zeros((2, k), jnp.float32),
+                 sanums=jnp.zeros((2, k), jnp.float32),
+                 signals=jnp.zeros((2, s), jnp.float32))
+    expected = jax.eval_shape(
+        lambda r, b: model.init({"params": r}, b["kmer"], b["means"],
+                                b["stds"], b["sanums"], b["signals"],
+                                train=False),
+        jax.random.PRNGKey(0), dummy)
+
+    got = _shape_tree({"params": imported["params"],
+                       "batch_stats": imported["batch_stats"]})
+    want = _shape_tree(
+        {"params": jax.tree.map(lambda x: np.zeros(x.shape), expected,
+                                is_leaf=lambda x: hasattr(x, "shape"))
+         ["params"],
+         "batch_stats": jax.tree.map(lambda x: np.zeros(x.shape), expected,
+                                     is_leaf=lambda x: hasattr(x, "shape"))
+         ["batch_stats"]})
+    assert got == want
+
+    # full coverage: every checkpoint parameter landed in the tree
+    n_fixture = sum(int(np.prod(shape)) for name, shape in
+                    _load_fixture().items() if name != "modelglobal_step")
+    n_imported = sum(int(np.prod(np.shape(leaf)))
+                     for leaf in jax.tree.leaves(imported))
+    assert n_imported == n_fixture
+
+
+def test_import_bidirectional_rnn_scoped_variant():
+    """Some TF1 exports scope the stack under an extra bidirectional_rnn/
+    level; the substring-matched importer must accept them identically."""
+    fixture = _load_fixture()
+    arrs = _synth_arrays(fixture)
+    renamed = {}
+    for name, arr in arrs.items():
+        if "/multi_rnn_cell/" in name:
+            name = name.replace("modelem/",
+                                "modelem/bidirectional_rnn/")
+        renamed[name] = arr
+    a = import_tf1_arrays(arrs, ModelConfig())
+    b = import_tf1_arrays(renamed, ModelConfig())
+    for pa, pb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(pa, pb)
