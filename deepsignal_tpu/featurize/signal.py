@@ -17,6 +17,11 @@ from __future__ import annotations
 
 import numpy as np
 
+try:  # native kernels (deepsignal_tpu/native/featkernel.cpp), bit-exact
+    from .. import _featkernel as _native
+except ImportError:  # pragma: no cover - build-dependent
+    _native = None
+
 # scipy.stats.norm.ppf(0.75): the statsmodels `robust.mad` denominator.
 MAD_SCALE = 0.6744897501960817
 
@@ -38,6 +43,10 @@ def normalize_signals(signals: np.ndarray,
     if normalize_method == "zscore":
         sshift, sscale = np.mean(signals), float(np.std(signals))
     elif normalize_method == "mad":
+        if _native is not None:
+            # one C pass: median + scaled-MAD + normalize + round, proven
+            # bit-exact vs the numpy chain below (tests/test_native.py)
+            return _native.normalize_mad(signals)
         med = np.median(signals)
         # statsmodels.robust.mad divides elementwise by c BEFORE taking the
         # median; mirror that op order for bit-exact parity
@@ -75,6 +84,11 @@ def segment_stats(norm_signals: np.ndarray, starts: np.ndarray,
         raise ValueError("event extends past end of signal")
 
     norm_signals = np.ascontiguousarray(norm_signals, dtype=np.float64)
+    if _native is not None:
+        # native per-segment pass with numpy's exact pairwise-summation
+        # order (tests/test_native.py proves bit-equality vs the grouped
+        # numpy reduction below)
+        return _native.segment_stats(norm_signals, starts, lengths)
     means = np.empty(starts.shape[0], dtype=np.float64)
     stds = np.empty(starts.shape[0], dtype=np.float64)
     for seg_len in np.unique(lengths):

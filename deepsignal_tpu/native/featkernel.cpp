@@ -1,0 +1,192 @@
+// Native featurize kernels: whole-read MAD normalization + per-event
+// segment statistics (CPython C API, no pybind11).
+//
+// These are the two numpy hot spots of the fast5 -> features path
+// (reference hot loops: extract_features.py:143-151, 269-276).  Both are
+// BIT-EXACT re-implementations of the numpy semantics the framework's
+// parity contract is pinned to (tests/test_ref_parity.py byte-compares
+// against the in-process reference extractor):
+//
+// - median: selection (introselect / nth_element) returns the exact same
+//   element(s) numpy's partition picks; the even-length midpoint is
+//   (lo + hi) / 2 in double, identical to np.mean of the two middles.
+// - mean/std: numpy reduces 1-D doubles with PAIRWISE summation (8
+//   partial accumulators per 128-element block, recursive halving above) —
+//   replicated here verbatim; verified bit-identical on this host for all
+//   segment lengths (tests/test_native.py).
+// - rounding: np.around(x, 6) == rint(x * 1e6) / 1e6 elementwise.
+//
+// API:
+//   normalize_mad(signals: float64[N]) -> float64[N]
+//     (x - median(x)) / median(|x - median(x)| / 0.6744897501960817),
+//     rounded to 6 decimals.  Input must be the rescaled pA float64 signal.
+//   segment_stats(norm: float64[N], starts: int64[M], lens: int64[M])
+//     -> (means: float64[M], stds: float64[M])   (population std, ddof=0)
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#define NPY_NO_DEPRECATED_API NPY_1_7_API_VERSION
+#include <numpy/arrayobject.h>
+
+#include <algorithm>
+#include <cmath>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// numpy's scalar pairwise summation (numpy/_core/src/umath/loops.c.src),
+// blocksize 128, 8-way unrolled partials.  Bit-exact match verified on this
+// host for n <= 4096 (segments are < ~2000 signal points).
+static double pairwise_sum(const double* a, npy_intp n) {
+  if (n < 8) {
+    double s = 0.0;
+    for (npy_intp i = 0; i < n; i++) s += a[i];
+    return s;
+  }
+  if (n <= 128) {
+    double r0 = a[0], r1 = a[1], r2 = a[2], r3 = a[3];
+    double r4 = a[4], r5 = a[5], r6 = a[6], r7 = a[7];
+    npy_intp i = 8;
+    for (; i + 8 <= n; i += 8) {
+      r0 += a[i + 0]; r1 += a[i + 1]; r2 += a[i + 2]; r3 += a[i + 3];
+      r4 += a[i + 4]; r5 += a[i + 5]; r6 += a[i + 6]; r7 += a[i + 7];
+    }
+    double res = ((r0 + r1) + (r2 + r3)) + ((r4 + r5) + (r6 + r7));
+    for (; i < n; i++) res += a[i];
+    return res;
+  }
+  npy_intp n2 = n / 2;
+  n2 -= n2 % 8;
+  return pairwise_sum(a, n2) + pairwise_sum(a + n2, n - n2);
+}
+
+// np.median: partition-select; even length -> mean of the two middles.
+static double median_inplace(std::vector<double>& v) {
+  size_t n = v.size();
+  size_t k = (n - 1) / 2;
+  std::nth_element(v.begin(), v.begin() + k, v.end());
+  double lo = v[k];
+  if (n % 2) return lo;
+  double hi = *std::min_element(v.begin() + k + 1, v.end());
+  return (lo + hi) / 2.0;
+}
+
+static PyObject* normalize_mad(PyObject*, PyObject* args) {
+  PyObject* in_obj;
+  if (!PyArg_ParseTuple(args, "O", &in_obj)) return nullptr;
+  PyArrayObject* in = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(in_obj, NPY_DOUBLE, NPY_ARRAY_IN_ARRAY));
+  if (!in) return nullptr;
+  npy_intp n = PyArray_SIZE(in);
+  const double* x = static_cast<const double*>(PyArray_DATA(in));
+
+  constexpr double kMadScale = 0.6744897501960817;  // norm.ppf(0.75)
+  std::vector<double> scratch(x, x + n);
+  double med = median_inplace(scratch);
+  for (npy_intp i = 0; i < n; i++)
+    scratch[i] = std::fabs(x[i] - med) / kMadScale;
+  double sscale = median_inplace(scratch);
+
+  npy_intp dims[1] = {n};
+  PyArrayObject* out = reinterpret_cast<PyArrayObject*>(
+      PyArray_SimpleNew(1, dims, NPY_DOUBLE));
+  if (!out) { Py_DECREF(in); return nullptr; }
+  double* o = static_cast<double*>(PyArray_DATA(out));
+  for (npy_intp i = 0; i < n; i++) {
+    double v = (x[i] - med) / sscale;
+    o[i] = std::rint(v * 1e6) / 1e6;  // np.around(v, 6)
+  }
+  Py_DECREF(in);
+  return reinterpret_cast<PyObject*>(out);
+}
+
+static PyObject* segment_stats(PyObject*, PyObject* args) {
+  PyObject *norm_obj, *starts_obj, *lens_obj;
+  if (!PyArg_ParseTuple(args, "OOO", &norm_obj, &starts_obj, &lens_obj))
+    return nullptr;
+  PyArrayObject* norm = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(norm_obj, NPY_DOUBLE, NPY_ARRAY_IN_ARRAY));
+  PyArrayObject* starts = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(starts_obj, NPY_INT64, NPY_ARRAY_IN_ARRAY));
+  PyArrayObject* lens = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(lens_obj, NPY_INT64, NPY_ARRAY_IN_ARRAY));
+  if (!norm || !starts || !lens) {
+    Py_XDECREF(norm); Py_XDECREF(starts); Py_XDECREF(lens);
+    return nullptr;
+  }
+  npy_intp n = PyArray_SIZE(norm);
+  npy_intp m = PyArray_SIZE(starts);
+  if (PyArray_SIZE(lens) != m) {
+    Py_DECREF(norm); Py_DECREF(starts); Py_DECREF(lens);
+    PyErr_SetString(PyExc_ValueError, "starts/lens length mismatch");
+    return nullptr;
+  }
+  const double* x = static_cast<const double*>(PyArray_DATA(norm));
+  const npy_int64* st = static_cast<const npy_int64*>(PyArray_DATA(starts));
+  const npy_int64* ln = static_cast<const npy_int64*>(PyArray_DATA(lens));
+
+  npy_intp dims[1] = {m};
+  PyArrayObject* means = reinterpret_cast<PyArrayObject*>(
+      PyArray_SimpleNew(1, dims, NPY_DOUBLE));
+  PyArrayObject* stds = reinterpret_cast<PyArrayObject*>(
+      PyArray_SimpleNew(1, dims, NPY_DOUBLE));
+  if (!means || !stds) {
+    Py_DECREF(norm); Py_DECREF(starts); Py_DECREF(lens);
+    Py_XDECREF(means); Py_XDECREF(stds);
+    return nullptr;
+  }
+  double* mo = static_cast<double*>(PyArray_DATA(means));
+  double* so = static_cast<double*>(PyArray_DATA(stds));
+
+  std::vector<double> sq;
+  for (npy_intp i = 0; i < m; i++) {
+    npy_int64 s = st[i], L = ln[i];
+    if (L <= 0 || s < 0 || s + L > n) {
+      Py_DECREF(norm); Py_DECREF(starts); Py_DECREF(lens);
+      Py_DECREF(means); Py_DECREF(stds);
+      PyErr_Format(PyExc_ValueError,
+                   "segment %zd out of bounds (start=%lld len=%lld n=%zd)",
+                   static_cast<Py_ssize_t>(i),
+                   static_cast<long long>(s), static_cast<long long>(L), n);
+      return nullptr;
+    }
+    const double* seg = x + s;
+    // np.mean: pairwise sum / L
+    double mean = pairwise_sum(seg, L) / static_cast<double>(L);
+    // np.std (_var, ddof=0): pairwise sum of (x - mean)^2 / L, then sqrt
+    sq.resize(L);
+    for (npy_int64 j = 0; j < L; j++) {
+      double d = seg[j] - mean;
+      sq[j] = d * d;
+    }
+    double var = pairwise_sum(sq.data(), L) / static_cast<double>(L);
+    mo[i] = mean;
+    so[i] = std::sqrt(var);
+  }
+  Py_DECREF(norm); Py_DECREF(starts); Py_DECREF(lens);
+  PyObject* tup = PyTuple_Pack(2, means, stds);
+  Py_DECREF(means); Py_DECREF(stds);
+  return tup;
+}
+
+static PyMethodDef kMethods[] = {
+    {"normalize_mad", normalize_mad, METH_VARARGS,
+     "MAD-normalize a rescaled float64 signal, rounded to 6 decimals "
+     "(bit-exact numpy semantics)."},
+    {"segment_stats", segment_stats, METH_VARARGS,
+     "Per-segment (mean, std) over a float64 signal, bit-exact vs "
+     "np.mean/np.std per slice."},
+    {nullptr, nullptr, 0, nullptr}};
+
+static struct PyModuleDef kModule = {
+    PyModuleDef_HEAD_INIT, "_featkernel",
+    "Native featurize kernels (bit-exact numpy semantics).", -1, kMethods};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__featkernel(void) {
+  import_array();
+  return PyModule_Create(&kModule);
+}

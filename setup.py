@@ -16,6 +16,13 @@ setup(
             include_dirs=[numpy.get_include()],
             extra_compile_args=["-O3", "-std=c++17"],
             language="c++",
-        )
+        ),
+        Extension(
+            "deepsignal_tpu._featkernel",
+            sources=["deepsignal_tpu/native/featkernel.cpp"],
+            include_dirs=[numpy.get_include()],
+            extra_compile_args=["-O3", "-std=c++17"],
+            language="c++",
+        ),
     ],
 )

@@ -25,6 +25,7 @@ import pytest  # noqa: E402
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 try:
     import deepsignal_tpu._fastparse  # noqa: F401
+    import deepsignal_tpu._featkernel  # noqa: F401
 except ImportError:
     import subprocess
     import sys

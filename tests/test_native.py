@@ -81,3 +81,58 @@ def test_native_speedup(rng):
     python_t = time.time() - t
     # sanity: native should never be slower (usually 5-10x faster)
     assert native_t < python_t
+
+
+# ---------------------------------------------------------------------------
+# _featkernel: native normalize + segment stats (bit-exact numpy semantics)
+# ---------------------------------------------------------------------------
+
+featkernel = pytest.importorskip("deepsignal_tpu._featkernel")
+
+
+def _numpy_normalize_mad(x):
+    from deepsignal_tpu.featurize.signal import MAD_SCALE
+    med = np.median(x)
+    sscale = float(np.median(np.abs(x - med) / MAD_SCALE))
+    return np.around((x - med) / sscale, decimals=6)
+
+
+def test_featkernel_normalize_bit_exact(rng):
+    for n in (11, 100, 4097, 60000, 60001):
+        x = rng.normal(450, 40, n)
+        np.testing.assert_array_equal(featkernel.normalize_mad(x),
+                                      _numpy_normalize_mad(x))
+
+
+def test_featkernel_segment_stats_bit_exact(rng):
+    lens = rng.integers(1, 200, 500).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    sig = np.around(rng.normal(0, 1, int(lens.sum())), 6)
+    means, stds = featkernel.segment_stats(sig, starts, lens)
+    want_m = np.array([sig[s:s + l].mean() for s, l in zip(starts, lens)])
+    want_s = np.array([sig[s:s + l].std() for s, l in zip(starts, lens)])
+    np.testing.assert_array_equal(means, want_m)
+    np.testing.assert_array_equal(stds, want_s)
+
+
+def test_featkernel_segment_stats_bounds(rng):
+    sig = rng.normal(0, 1, 100)
+    with pytest.raises(ValueError):
+        featkernel.segment_stats(sig, np.array([90], np.int64),
+                                 np.array([20], np.int64))
+
+
+def test_signal_module_uses_native_and_matches(rng):
+    """The public normalize_signals/segment_stats must equal the pure-numpy
+    chain regardless of which backend runs underneath."""
+    from deepsignal_tpu.featurize import signal as sigmod
+    x = rng.normal(450, 40, 30000)
+    got = sigmod.normalize_signals(x, "mad")
+    np.testing.assert_array_equal(got, _numpy_normalize_mad(x))
+    lens = rng.integers(1, 40, 300).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    m, s = sigmod.segment_stats(got, starts, lens)
+    np.testing.assert_array_equal(
+        m, np.array([got[a:a + l].mean() for a, l in zip(starts, lens)]))
+    np.testing.assert_array_equal(
+        s, np.array([got[a:a + l].std() for a, l in zip(starts, lens)]))
