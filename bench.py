@@ -334,11 +334,13 @@ def measure_e2e(compute_dtype=None, n_reads=None) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def measure_featurize_scaling(nprocs=(1, 2, 4), n_reads=64) -> dict:
+def measure_featurize_scaling(nprocs=(1, 2, 4), n_reads=192) -> dict:
     """Host featurization rate at several worker counts (the chip-feeding
     capacity of this host), measured through the production streaming
-    pipeline.  Note the bench host has only `os.cpu_count()` cores — rates
-    beyond that are oversubscribed and reported for completeness."""
+    pipeline.  Steady-state: timed from the first yielded batch so worker
+    spawn/import (~1-2 s) does not distort the rate.  Note the bench host
+    has only `os.cpu_count()` cores — rates beyond that are oversubscribed
+    and reported for completeness."""
     from deepsignal_tpu.core.config import FeatureConfig
     from deepsignal_tpu.runtime.pipeline import stream_fast5_feature_batches
 
@@ -350,11 +352,15 @@ def measure_featurize_scaling(nprocs=(1, 2, 4), n_reads=64) -> dict:
         _write_synthetic_reads(tmp, n_reads=n_reads)
         out = {"cores": os.cpu_count()}
         for np_ in nprocs:
-            t0 = time.perf_counter()
-            sites = sum(len(fb) for fb in stream_fast5_feature_batches(
+            metered = _MeteredBatches(stream_fast5_feature_batches(
                 tmp, FeatureConfig(), nproc=np_ + 1, f5_batch_num=8))
-            dt = time.perf_counter() - t0
-            out[f"sites_per_s_{np_}proc"] = round(sites / dt)
+            for _ in metered:
+                pass
+            t_end = time.perf_counter()
+            steady = ((metered.sites - metered.sites_first)
+                      / max(t_end - metered.t_first, 1e-9)
+                      if metered.t_first is not None else 0.0)
+            out[f"sites_per_s_{np_}proc"] = round(steady)
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

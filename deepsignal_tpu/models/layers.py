@@ -65,14 +65,15 @@ class BiLSTMEncoder(nn.Module):
 
     ``impl``: "xla" = per-layer lax.scan; "pallas" = the fused whole-encoder
     VMEM-resident kernel (ops/pallas/lstm.py) on the inference path; "auto" =
-    pallas only for bfloat16 on TPU, xla otherwise — measured on real
-    hardware (scripts/profile_serial.py): in bf16 the fused kernel's 2.5 MB
-    weight set stays VMEM-resident and it beats the scan ~13%, while in f32
-    the ~10 MB of weights + double-buffered activations thrash VMEM and the
-    scan wins.  Training with dropout (keep_prob < 1) always takes the
-    per-layer path — the fused kernel has no inter-layer dropout (a no-op at
-    inference anyway); its gradients are still exact via the custom VJP
-    (bilstm_encoder_fused)."""
+    pallas on TPU for BOTH dtypes, xla otherwise — measured on real hardware
+    under the serial-chained fetch-synced protocol (scripts/exp_lstm.py,
+    full model, v5e): f32@16384 385 -> 276 ms/batch (1.40x), bf16@16384
+    137.6 -> 112.2 ms (1.23x), and it also wins at batch 512 for both
+    dtypes.  (Round-2 timings that showed f32-pallas losing were taken
+    before fetch-synced timing and were unreliable.)  Training with dropout
+    (keep_prob < 1) always takes the per-layer path — the fused kernel has
+    no inter-layer dropout (a no-op at inference anyway); its gradients are
+    still exact via the custom VJP (bilstm_encoder_fused)."""
 
     hidden: int = 256
     num_layers: int = 3
@@ -93,8 +94,7 @@ class BiLSTMEncoder(nn.Module):
                      and self.hidden % 128 == 0 and x.shape[0] >= 8
                      and (self.impl == "pallas" or (
                          self.impl == "auto"
-                         and jax.default_backend() == "tpu"
-                         and x.dtype == jnp.bfloat16)))
+                         and jax.default_backend() == "tpu")))
         if use_fused:
             from ..ops.pallas import bilstm_encoder_fused
             kf, bf = zip(*(m.params_in(x.dtype) for m in layers_fw))

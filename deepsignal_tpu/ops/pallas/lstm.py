@@ -171,103 +171,6 @@ def bilstm_encoder_pallas(x: jax.Array, kernels_fw, biases_fw, kernels_bw,
     return out
 
 
-def _stack_kernel(xp_ref, wh0_ref, k1_ref, k2_ref, b_ref, out_ref, state_scr):
-    """One direction's 3-layer stack, one timestep per grid step.
-
-    Same math as ``_encoder_kernel`` but per-direction, so the VMEM working
-    set (weights ~5 MB f32 / 2.5 MB bf16 + [6, bt, H] state) fits in f32
-    too; time reversal is handled by the caller's xp index map."""
-    t = pl.program_id(1)
-    n_t = pl.num_programs(1)
-
-    @pl.when(t == 0)
-    def _():
-        state_scr[:] = jnp.zeros_like(state_scr)
-
-    dt = xp_ref.dtype
-    h_dim = wh0_ref.shape[0]
-    h0, c0 = state_scr[0], state_scr[1]
-    h1, c1 = state_scr[2], state_scr[3]
-    h2, c2 = state_scr[4], state_scr[5]
-    g0 = xp_ref[0].astype(jnp.float32) + jnp.dot(
-        h0.astype(dt), wh0_ref[:], preferred_element_type=jnp.float32)
-    h0, c0 = _cell(g0, c0, FORGET_BIAS)
-    g1 = (b_ref[0].astype(jnp.float32)
-          + jnp.dot(h0.astype(dt), k1_ref[:h_dim],
-                    preferred_element_type=jnp.float32)
-          + jnp.dot(h1.astype(dt), k1_ref[h_dim:],
-                    preferred_element_type=jnp.float32))
-    h1, c1 = _cell(g1, c1, FORGET_BIAS)
-    g2 = (b_ref[1].astype(jnp.float32)
-          + jnp.dot(h1.astype(dt), k2_ref[:h_dim],
-                    preferred_element_type=jnp.float32)
-          + jnp.dot(h2.astype(dt), k2_ref[h_dim:],
-                    preferred_element_type=jnp.float32))
-    h2, c2 = _cell(g2, c2, FORGET_BIAS)
-    state_scr[0], state_scr[1] = h0, c0
-    state_scr[2], state_scr[3] = h1, c1
-    state_scr[4], state_scr[5] = h2, c2
-
-    @pl.when(t == n_t - 1)
-    def _():
-        out_ref[:] = h2.astype(out_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
-def bilstm_encoder_pallas_split(x: jax.Array, kernels_fw, biases_fw,
-                                kernels_bw, biases_bw, block_b: int = 128,
-                                interpret: bool = False) -> jax.Array:
-    """Per-direction variant of ``bilstm_encoder_pallas``: two pallas_calls
-    (fw stack, bw stack) instead of one.  Halves the per-kernel VMEM weight
-    set so the float32 path stays VMEM-resident."""
-    b, t, d = x.shape
-    h_dim = kernels_fw[0].shape[1] // 4
-    bt = min(block_b, b)
-    pad = (-b) % bt
-
-    def xp0(kern, bias):
-        w_x = kern[:d]
-        xp = (x.reshape(b * t, d) @ w_x + bias).reshape(b, t, 4 * h_dim)
-        if pad:
-            xp = jnp.pad(xp, ((0, pad), (0, 0), (0, 0)))
-        return xp.transpose(1, 0, 2)  # [T, B, 4H]
-
-    def run(kernels, biases, reverse):
-        xp = xp0(kernels[0], biases[0])
-        bp = xp.shape[1]
-        b_upper = jnp.stack([biases[1], biases[2]]).astype(jnp.float32)
-        wh0 = kernels[0][d:]
-
-        def time_idx(i, tt, _t=t):
-            return ((_t - 1 - tt) if reverse else tt, i, 0)
-
-        out = pl.pallas_call(
-            _stack_kernel,
-            grid=(bp // bt, t),
-            in_specs=[
-                pl.BlockSpec((1, bt, 4 * h_dim), time_idx,
-                             memory_space=pltpu.VMEM),
-            ] + [
-                pl.BlockSpec(w.shape, lambda i, tt: (0, 0),
-                             memory_space=pltpu.VMEM)
-                for w in (wh0, kernels[1], kernels[2])
-            ] + [
-                pl.BlockSpec(b_upper.shape, lambda i, tt: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((bt, h_dim), lambda i, tt: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((bp, h_dim), x.dtype),
-            scratch_shapes=[pltpu.VMEM((6, bt, h_dim), jnp.float32)],
-            interpret=interpret,
-        )(xp, wh0, kernels[1], kernels[2], b_upper)
-        return out[:b] if pad else out
-
-    return jnp.concatenate([run(tuple(kernels_fw), tuple(biases_fw), False),
-                            run(tuple(kernels_bw), tuple(biases_bw), True)],
-                           axis=1)
-
-
 @jax.custom_vjp
 def bilstm_encoder_fused(x, kernels_fw, biases_fw, kernels_bw, biases_bw):
     """Differentiable fused encoder: Pallas forward, lax.scan backward.

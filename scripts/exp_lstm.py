@@ -7,11 +7,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import deepsignal_tpu.ops.pallas as ops_pallas
 from deepsignal_tpu.core.config import ModelConfig
 from deepsignal_tpu.models.deepsignal import DeepSignalNet
-from deepsignal_tpu.ops.pallas.lstm import (bilstm_encoder_fused,
-                                            bilstm_encoder_pallas_split)
 
 
 def make_batch(seed, b):
@@ -27,13 +24,9 @@ def main():
     print("kind:", jax.devices()[0].device_kind, flush=True)
     N = 6
     for dtype, prec in (("float32", "highest"), ("bfloat16", "default")):
-        for impl in ("xla", "pallas", "pallas-split"):
+        for impl in ("xla", "pallas"):
             cfg = ModelConfig(compute_dtype=dtype, matmul_precision=prec,
-                              lstm_impl=("pallas" if impl == "pallas-split"
-                                         else impl))
-            ops_pallas.bilstm_encoder_fused = (
-                bilstm_encoder_pallas_split if impl == "pallas-split"
-                else bilstm_encoder_fused)
+                              lstm_impl=impl)
             model = DeepSignalNet(cfg)
             dummy = make_batch(0, 512)
             init_fn = jax.jit(lambda r, b: model.init(
@@ -64,7 +57,6 @@ def main():
                       f"({B/ms*1e3:9.0f} sites/s) final={fin:.3e}",
                       flush=True)
             del model, v
-    ops_pallas.bilstm_encoder_fused = bilstm_encoder_fused
 
 
 if __name__ == "__main__":

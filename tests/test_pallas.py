@@ -135,27 +135,3 @@ def test_model_fused_pallas_impl_matches_xla(rng):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_split_direction_encoder_matches_xla(rng):
-    # per-direction variant (f32-friendly VMEM budget): same math, two calls
-    from deepsignal_tpu.ops.bilstm import bilstm_encoder_xla
-    from deepsignal_tpu.ops.pallas.lstm import bilstm_encoder_pallas_split
-    b, t, d, h = 12, 9, 7, 128
-    x = jnp.asarray(rng.normal(0, 1, (b, t, d)), jnp.float32)
-
-    def mk(layer):
-        d_in = d if layer == 0 else h
-        return jnp.asarray(rng.normal(0, 0.05, (d_in + h, 4 * h)), jnp.float32)
-
-    kf = tuple(mk(i) for i in range(3))
-    kb = tuple(mk(i) for i in range(3))
-    bf = tuple(jnp.asarray(rng.normal(0, 0.05, (4 * h,)), jnp.float32)
-               for _ in range(3))
-    bb = tuple(jnp.asarray(rng.normal(0, 0.05, (4 * h,)), jnp.float32)
-               for _ in range(3))
-    with jax.default_matmul_precision("highest"):
-        want = bilstm_encoder_xla(x, kf, bf, kb, bb)
-        got = bilstm_encoder_pallas_split(x, kf, bf, kb, bb, block_b=8,
-                                          interpret=True)
-    assert got.shape == (b, 2 * h)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-5, atol=1e-5)
