@@ -43,12 +43,6 @@ def main():
                                      b["sanums"], b["signals"], train=False)
                 return acc + logits.sum()
 
-            try:
-                ca = step.lower(v, dummy, jnp.float32(0.)).compile() \
-                    .cost_analysis()
-                mflops = ca.get("flops", float("nan")) / B / 1e6
-            except Exception:
-                mflops = float("nan")
             devs = [jax.device_put(make_batch(100 + i, B)) for i in range(N)]
             acc = jax.device_put(jnp.float32(0.0))
             acc = step(v, devs[0], acc)
@@ -58,10 +52,7 @@ def main():
                 acc = step(v, devs[i], acc)
             _ = float(acc)
             ms = (time.perf_counter() - t) / N * 1e3
-            tflops = mflops * 1e6 * B / (ms / 1e3) / 1e12
-            print(f"{dtype:9s} {tag:10s} {ms:8.2f} ms/batch  "
-                  f"{mflops:7.1f} MFLOP/site  {tflops:6.1f} TFLOP/s",
-                  flush=True)
+            print(f"{dtype:9s} {tag:10s} {ms:8.2f} ms/batch", flush=True)
             del model, v, devs
 
 
