@@ -65,9 +65,15 @@ class ModelConfig:
     matmul_precision: str = "highest"  # "highest" | "high" | "default"
     # LSTM encoder implementation: "xla" = per-layer lax.scan, "pallas" =
     # fused whole-encoder VMEM-resident kernel (ops/pallas/lstm.py),
-    # "auto" (default) = pallas for bfloat16 on TPU (measured ~13% faster,
-    # scripts/profile_serial.py), xla otherwise (f32 weights don't fit VMEM).
+    # "auto" (default) = pallas on TPU for both dtypes (measured 1.40x f32 /
+    # 1.23x bf16 over the scan at batch 16384, scripts/exp_lstm.py).
     lstm_impl: str = "auto"
+    # NOTE on the inception branch: a whole-block fused Pallas kernel was
+    # built and measured (round 3) — it compiled and matched numerically,
+    # but Mosaic's lowering of the shifted 1x3/1x5 convs (rolls = full-tile
+    # VPU copies) made it 1.6x SLOWER than XLA's native conv path
+    # (22-23 ms vs 13.6 ms per block at [16384, 90, 240] bf16), so it was
+    # removed.  XLA's conv fusion is the production path.
 
     def __post_init__(self):
         if not (self.is_cnn or self.is_rnn):

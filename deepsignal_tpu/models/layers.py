@@ -162,7 +162,13 @@ class TFBatchNorm(nn.Module):
 
 
 class ConvBNRelu(nn.Module):
-    """conv(no bias) -> BN -> relu, the repeated motif of incept_net."""
+    """conv(no bias) -> BN -> relu, the repeated motif of incept_net.
+
+    Computes in the INPUT dtype (``dtype=x.dtype`` casts the f32-stored
+    kernel down before the conv): without this, flax's default promotion
+    silently upcasts the whole CNN to float32 on the bfloat16 fast path —
+    params are stored f32 — wasting both MXU rate and HBM bandwidth.  The
+    float32 parity path is unchanged (promotion was f32 already)."""
 
     features: int
     kernel: int
@@ -172,7 +178,8 @@ class ConvBNRelu(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool):
         x = nn.Conv(self.features, kernel_size=(self.kernel,),
-                    strides=(self.stride,), padding="SAME", use_bias=False)(x)
+                    strides=(self.stride,), padding="SAME", use_bias=False,
+                    dtype=x.dtype)(x)
         x = TFBatchNorm(name="BatchNorm_0")(x, use_running_average=not train)
         return nn.relu(x) if self.use_relu else x
 
@@ -256,7 +263,11 @@ class JointHead(nn.Module):
             joint = signal_out
         else:
             joint = event_out
-        fc1 = nn.Dense(joint.shape[1], use_bias=False, name="fc1")(joint)
+        # dtype=joint.dtype: compute the two big dense layers in the
+        # branches' compute dtype (see ConvBNRelu) — f32 path unchanged
+        fc1 = nn.Dense(joint.shape[1], use_bias=False, name="fc1",
+                       dtype=joint.dtype)(joint)
         drop1 = nn.Dropout(rate=1.0 - keep_prob)(fc1, deterministic=deterministic)
-        fc2 = nn.Dense(self.class_num, use_bias=False, name="fc2")(drop1)
+        fc2 = nn.Dense(self.class_num, use_bias=False, name="fc2",
+                       dtype=joint.dtype)(drop1)
         return nn.Dropout(rate=1.0 - keep_prob)(fc2, deterministic=deterministic)

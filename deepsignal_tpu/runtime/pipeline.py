@@ -23,6 +23,7 @@ from __future__ import annotations
 import multiprocessing as mp
 import os
 import queue as queue_mod
+import threading
 import time
 from typing import Iterator, Optional
 
@@ -50,7 +51,13 @@ class _host_worker_env:
     entries that carry a ``sitecustomize.py`` are dropped and
     ``JAX_PLATFORMS=cpu`` is pinned so an accidental jax import in a worker
     can never touch the TPU.  The parent env is restored on exit (spawned
-    children snapshot the env at ``Process.start``)."""
+    children snapshot the env at ``Process.start``).
+
+    The mutation of process-global ``os.environ`` is serialized by a module
+    lock so two pipelines spawning concurrently (e.g. from threads) cannot
+    observe each other's half-modified env."""
+
+    _lock = threading.Lock()
 
     @staticmethod
     def _is_accel_hook(entry: str) -> bool:
@@ -70,6 +77,7 @@ class _host_worker_env:
                 or "register" in head and "PJRT" in head)
 
     def __enter__(self):
+        self._lock.acquire()
         self._saved = {k: os.environ.get(k)
                        for k in ("PYTHONPATH", "JAX_PLATFORMS")}
         entries = os.environ.get("PYTHONPATH", "").split(os.pathsep)
@@ -84,6 +92,7 @@ class _host_worker_env:
                 os.environ.pop(k, None)
             else:
                 os.environ[k] = v
+        self._lock.release()
         return False
 
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from deepsignal_tpu.ops.bilstm import lstm_layer
 from deepsignal_tpu.ops.pallas.lstm import lstm_layer_pallas
@@ -133,5 +134,3 @@ def test_model_fused_pallas_impl_matches_xla(rng):
     o2 = jax.jit(lambda v, b: m2.apply(v, **b, train=False))(v, batch)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
                                rtol=1e-5, atol=1e-5)
-
-
