@@ -74,6 +74,12 @@ def extract_read_features(read: ResquiggledRead, motif_seqs: list,
     kmer_len = cfg.kmer_len
     num_bases = (kmer_len - 1) // 2
 
+    if rng is None and cfg.central_sample_seed is not None:
+        # Per-READ derivation makes the (rare) oversized-middle-base
+        # subsample deterministic regardless of worker count, queue order,
+        # or process ids — any worker draws the same picks for a given read.
+        rng = random.Random(f"{cfg.central_sample_seed}:{read.read_id}")
+
     norm = normalize_signals(
         rescale_signals(read.raw_signal, read.scaling, read.offset),
         cfg.normalize_method)
@@ -148,8 +154,6 @@ def extract_fast5_batch(fast5_paths: list, motif_seqs: list,
     Alignment group is missing counts as an error, matching the reference's
     blanket-except behavior on the empty alignment tuple.
     """
-    if rng is None and cfg.central_sample_seed is not None:
-        rng = random.Random(cfg.central_sample_seed)
     out = []
     errors = 0
     for path in fast5_paths:

@@ -98,7 +98,7 @@ class _host_worker_env:
 
 def _extract_worker(fast5s_q, out_q, errornum_q, cfg: FeatureConfig,
                     motif_seqs, chrom2len, positions, as_batch: bool,
-                    seed_base: int, worker_id: int = 0):
+                    worker_id: int = 0):
     """Worker loop: fast5 path batches -> TSV rows or FeatureBatch.
 
     Streaming mode (``as_batch``) speaks a typed protocol on ``out_q`` —
@@ -106,9 +106,9 @@ def _extract_worker(fast5s_q, out_q, errornum_q, cfg: FeatureConfig,
     ``("done", worker_id, n_processed)`` sentinel — so the consumer can
     account for every submitted batch deterministically (no ``qsize``/
     ``empty()`` polling, which mp queues document as unreliable)."""
-    import random
-    rng = (random.Random(seed_base + os.getpid())
-           if cfg.central_sample_seed is not None else None)
+    # rng=None: extract_read_features derives a per-read RNG from
+    # cfg.central_sample_seed, so output is deterministic across worker
+    # counts and queue orders
     processed = 0
     while True:
         item = fast5s_q.get()
@@ -116,7 +116,7 @@ def _extract_worker(fast5s_q, out_q, errornum_q, cfg: FeatureConfig,
             fast5s_q.task_done()
             break
         feats_list, errors = extract_fast5_batch(item, motif_seqs, cfg,
-                                                 chrom2len, positions, rng)
+                                                 chrom2len, positions)
         if as_batch:
             fb = read_features_to_batch(feats_list)
             out_q.put(("fb", fb, errors))
@@ -215,8 +215,7 @@ def run_extract(fast5_dir: str, write_path: str, cfg: FeatureConfig,
         for w in range(n_workers):
             p = ctx.Process(target=_extract_worker,
                             args=(fast5s_q, rows_q, errornum_q, cfg,
-                                  motif_seqs, chrom2len, positions, False,
-                                  1000 * w),
+                                  motif_seqs, chrom2len, positions, False),
                             daemon=True)
             p.start()
             workers.append(p)
@@ -290,7 +289,7 @@ def stream_fast5_feature_batches(fast5_dir: str, cfg: FeatureConfig,
         for w in range(n_workers):
             p = ctx.Process(target=_extract_worker,
                             args=(fast5s_q, batch_q, None, cfg, motif_seqs,
-                                  chrom2len, positions, True, 1000 * w, w),
+                                  chrom2len, positions, True, w),
                             daemon=True)
             p.start()
             workers.append(p)

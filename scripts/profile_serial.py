@@ -1,5 +1,10 @@
 """Serial-chained timing: call i+1 consumes call i's output, so executions
-cannot overlap or be farmed out — measures true per-chip serial latency."""
+cannot overlap or be farmed out — measures true per-chip serial latency.
+
+Sync protocol: every timing region ends with ``float(acc)`` — an actual
+device->host fetch.  ``block_until_ready`` has been observed to return
+before execution finishes on the axon tunnel (see bench.py), which made
+pre-round-3 numbers from this script unreliable."""
 import time
 import jax
 import numpy as np
@@ -46,11 +51,11 @@ def main():
         devs = [jax.device_put(make_batch(100 + i)) for i in range(N)]
         acc = jax.device_put(jnp.float32(0.0))
         acc = step(v, devs[0], acc)
-        jax.block_until_ready(acc)
+        _ = float(acc)  # fetch-sync (block_until_ready lies on the tunnel)
         t = time.perf_counter()
         for i in range(N):
             acc = step(v, devs[i], acc)
-        jax.block_until_ready(acc)
+        _ = float(acc)
         ms = (time.perf_counter() - t) / N * 1e3
         print(f"{dtype:9s} {impl:7s} serial-chained: {ms:7.2f} ms/batch "
               f"({B/ms*1e3:8.0f} sites/s)", flush=True)
