@@ -116,3 +116,41 @@ def test_stream_file_batches_background(tmp_path, rng):
     assert sum(len(b) for b in fg) == 20
     assert sum(len(b) for b in bg) == 20
     assert [len(b) for b in fg] == [len(b) for b in bg]
+
+
+def test_extraction_deterministic_across_worker_counts(tmp_path, rng):
+    """The same fast5 corpus must featurize to identical rows with 1 or 3
+    workers (per-read RNG derivation: worker count, queue order, and pids
+    must not affect the oversized-middle-base subsample)."""
+    import numpy as np
+    from deepsignal_tpu.core.config import FeatureConfig
+    from deepsignal_tpu.io.fast5 import write_synthetic_fast5
+    from deepsignal_tpu.runtime.pipeline import run_extract
+
+    f5dir = tmp_path / "f5"
+    f5dir.mkdir()
+    for i in range(6):
+        n = 60
+        seq = np.array(list("ACT"))[rng.integers(0, 3, n)]
+        seq[10] = "C"
+        seq[11] = "G"
+        seq[40] = "C"
+        seq[41] = "G"
+        lengths = rng.integers(3, 10, n)
+        # read 0: give the first CpG site an oversized middle base so the
+        # random-subsample path actually runs
+        if i == 0:
+            lengths[10] = 300
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        raw = rng.integers(300, 600, int(lengths.sum())).astype(np.int16)
+        write_synthetic_fast5(
+            str(f5dir / f"r{i}.fast5"), f"read{i}", raw, starts, lengths,
+            "".join(seq), "chr1", 100 * i, "+")
+
+    cfg = FeatureConfig(kmer_len=5, cent_signals_len=24)
+    outs = []
+    for nproc in (1, 3):
+        out = tmp_path / f"fea_{nproc}.tsv"
+        run_extract(str(f5dir), str(out), cfg, nproc=nproc, f5_batch_num=2)
+        outs.append(sorted(out.read_text().splitlines()))
+    assert outs[0] and outs[0] == outs[1]
