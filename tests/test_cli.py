@@ -160,3 +160,67 @@ def test_train_cli_resume_matches_unbroken(tmp_path, rng):
         a = open(os.path.join(dir_a, "train_state.ckpt", blob), "rb").read()
         b = open(os.path.join(dir_b, "train_state.ckpt", blob), "rb").read()
         assert a == b, f"{blob} differs between resumed and unbroken runs"
+
+
+def test_call_mods_cli_end_to_end(tmp_path, rng):
+    """argv-level call_mods: fast5-dir input and feature-TSV input both
+    produce the 10-column call TSV through the real CLI plumbing."""
+    import os
+    from deepsignal_tpu.core.config import ModelConfig
+    from deepsignal_tpu.io.fast5 import write_synthetic_fast5
+    from deepsignal_tpu.models.deepsignal import init_model
+    from deepsignal_tpu.train.checkpoints import save_checkpoint
+
+    f5dir = tmp_path / "f5"
+    f5dir.mkdir()
+    for i in range(4):
+        n = 80
+        seq = np.array(list("ACT"))[rng.integers(0, 3, n)]
+        pos = np.arange(4, n - 5, 10)
+        seq[pos] = "C"
+        seq[pos + 1] = "G"
+        lens = rng.integers(4, 12, n)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        raw = rng.integers(300, 600, int(lens.sum())).astype(np.int16)
+        write_synthetic_fast5(
+            str(f5dir / f"r{i}.fast5"), f"read{i}", raw, starts, lens,
+            "".join(seq), "chr1", 100 * i, "+" if i % 2 == 0 else "-")
+
+    cfg = ModelConfig(lstm_hidden=8, lstm_layers=1, inception_times=1,
+                      inception_blocks=(1, 1, 1), kmer_len=5,
+                      cent_signals_len=24)
+    _, variables = init_model(cfg, batch_size=4)
+    ckpt = str(tmp_path / "model.ckpt")
+    save_checkpoint(ckpt, cfg, variables)
+
+    calls_dir = str(tmp_path / "calls_dir.tsv")
+    assert main(["call_mods", "-i", str(f5dir), "-m", ckpt,
+                 "-o", calls_dir, "--kmer_len", "5",
+                 "--cent_signals_len", "24", "--nproc", "2",
+                 "--f5_batch_num", "2", "--batch_size", "64"]) == 0
+    rows = open(calls_dir).read().splitlines()
+    assert rows and all(len(r.split("\t")) == 10 for r in rows)
+    # prob columns renormalize to 1
+    p0, p1 = map(float, rows[0].split("\t")[6:8])
+    assert abs(p0 + p1 - 1.0) < 1e-5
+
+    # feature-TSV input through the extract CLI first
+    fea = str(tmp_path / "fea.tsv")
+    assert main(["extract", "-i", str(f5dir), "-o", fea, "--kmer_len", "5",
+                 "--cent_signals_len", "24", "--nproc", "2"]) == 0
+    calls_file = str(tmp_path / "calls_file.tsv")
+    assert main(["call_mods", "-i", fea, "-m", ckpt, "-o", calls_file,
+                 "--kmer_len", "5", "--cent_signals_len", "24",
+                 "--batch_size", "64"]) == 0
+    rows_f = sorted(open(calls_file).read().splitlines())
+    # dir-mode and file-mode call the same sites with float32-close probs
+    # (not byte-equal: the TSV round-trips features through 6-decimal
+    # strings while dir mode keeps full float64 — the reference's direct
+    # fast5 path has the same divergence vs its TSV path)
+    rows_d = sorted(rows)
+    assert len(rows_f) == len(rows_d)
+    for got, want in zip(rows_f, rows_d):
+        g, w = got.split("\t"), want.split("\t")
+        assert g[:6] == w[:6] and g[8:] == w[8:], (got, want)
+        for gp, wp in zip(g[6:8], w[6:8]):
+            assert abs(float(gp) - float(wp)) < 1e-5, (got, want)
