@@ -80,6 +80,11 @@ static PyObject* normalize_mad(PyObject*, PyObject* args) {
       PyArray_FROM_OTF(in_obj, NPY_DOUBLE, NPY_ARRAY_IN_ARRAY));
   if (!in) return nullptr;
   npy_intp n = PyArray_SIZE(in);
+  if (n == 0) {  // corrupt read: empty signal — mirror numpy (empty out)
+    Py_DECREF(in);
+    npy_intp zero[1] = {0};
+    return PyArray_SimpleNew(1, zero, NPY_DOUBLE);
+  }
   const double* x = static_cast<const double*>(PyArray_DATA(in));
 
   constexpr double kMadScale = 0.6744897501960817;  // norm.ppf(0.75)
