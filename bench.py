@@ -38,9 +38,15 @@ import numpy as np
 
 BATCH = 512            # reference-parity batch (TF1 default)
 DEVICE_BATCH = 16384   # TPU-tuned device batch (per-call latency amortized)
+TRAIN_BATCH_TPU = 4096  # TPU-tuned train batch (same sweep optimum as infer)
 SERIAL_ITERS = 8
 N_READS_E2E = 500      # e2e corpus size (reads); ~100 CpG sites per read
 READ_LEN = 6000
+# Fixed per-tag corpus seeds: cold/warm score DISTINCT corpora (so warm can
+# never be flattered by data caching) but each tag's corpus is identical
+# run-to-run — ``hash(tag)`` was salted per process (PYTHONHASHSEED) and made
+# consecutive bench runs incomparable.
+TAG_SEEDS = {"cold": 1001, "warm": 2002}
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "bench_baseline.json")
 
@@ -127,8 +133,49 @@ def _init_device_variables(cfg):
     return variables
 
 
+def xla_flops_per_site(cfg, batch, variables=None) -> float:
+    """FLOPs/site of the inference step pinned to the fully-XLA-visible path.
+
+    ``cost_analysis`` cannot see inside a Pallas kernel, so configs running
+    the fused Pallas LSTM undercount FLOPs (~192M vs the true ~231M/site) and
+    the MFU physics gate silently weakens.  The denominator is therefore
+    computed ONCE from an ``lstm_impl="xla"`` compile of the same step and
+    reused for every full-model row (the op inventory — and hence MACs — is
+    identical across lstm_impl and compute_dtype)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from deepsignal_tpu.models.deepsignal import DeepSignalNet, predictions
+
+    cfg = dataclasses.replace(cfg, lstm_impl="xla")
+    if variables is None:
+        variables = _init_device_variables(cfg)
+    model = DeepSignalNet(cfg)
+
+    @jax.jit
+    def step(variables, b, acc):
+        means = b["means"] + (acc * 1e-12).astype(b["means"].dtype)
+        logits = model.apply(variables, b["kmer"].astype(jnp.int32), means,
+                             b["stds"], b["sanums"], b["signals"],
+                             train=False)
+        act = jax.nn.sigmoid(logits)
+        pred = predictions(logits, 1.0)
+        return acc + act.astype(jnp.float32).sum() + pred.sum(), act, pred
+
+    rng = np.random.default_rng(0)
+    d = jax.device_put(_make_batch(rng, batch, k=cfg.kmer_len,
+                                   s=cfg.cent_signals_len))
+    ca = step.lower(variables, d, jnp.float32(0.0)).compile().cost_analysis()
+    if not ca or "flops" not in ca:
+        return float("nan")
+    return float(ca["flops"]) / batch
+
+
 def measure_serial_model(cfg, batch=DEVICE_BATCH, wire=None,
-                         iters=SERIAL_ITERS, variables=None) -> dict:
+                         iters=SERIAL_ITERS, variables=None,
+                         flops_per_site=None) -> dict:
     """Serial-chained device rate + FLOPs/MFU accounting.
 
     Protocol: step i+1 perturbs its input by a scalar accumulated from step
@@ -162,14 +209,17 @@ def measure_serial_model(cfg, batch=DEVICE_BATCH, wire=None,
             for i in range(iters)]
     acc = jax.device_put(jnp.float32(0.0))
 
-    # flops of the exact compiled step (includes the negligible chain ops)
-    flops_per_site = float("nan")
-    try:
-        ca = step.lower(variables, devs[0], acc).compile().cost_analysis()
-        if ca and "flops" in ca:
-            flops_per_site = float(ca["flops"]) / batch
-    except Exception:
-        pass
+    if flops_per_site is None:
+        # fallback: flops of this exact compiled step (undercounts when the
+        # Pallas LSTM is active — prefer passing the xla_flops_per_site
+        # denominator)
+        flops_per_site = float("nan")
+        try:
+            ca = step.lower(variables, devs[0], acc).compile().cost_analysis()
+            if ca and "flops" in ca:
+                flops_per_site = float(ca["flops"]) / batch
+        except Exception:
+            pass
 
     # warmup (compile) + one full fetch
     acc, _, _ = step(variables, devs[0], acc)
@@ -244,7 +294,134 @@ def measure_h2d_pipelined(cfg, batch=DEVICE_BATCH, wire=None, iters=8,
     return {"batch": batch,
             "with_h2d_sites_per_s": round(rate),
             "ms_per_batch_with_h2d": round(batch / rate * 1e3, 2),
-            "valid": valid}
+            "valid": valid,
+            # h2d on this bench host rides the experimental tunnel, whose
+            # bandwidth swings 11-54 MB/s run-to-run — diagnostic only, not
+            # representative of real PCIe (docs/PERF.md)
+            "tunnel_limited": True}
+
+
+def _make_train_batch(rng, b, k=17, s=360):
+    d = _make_batch(rng, b, k=k, s=s)
+    d["labels"] = rng.integers(0, 2, b).astype(np.int32)
+    return d
+
+
+def _build_train_step(cfg, batch):
+    """Jitted chained training step + fresh state for the bench.
+
+    The step is the production ``Trainer`` math (same loss helper, Adam via
+    optax, dropout + BN stat updates — train/trainer.py:107-128); rebuilt
+    here only to thread the serial-chaining scalar through jit: step i+1's
+    batch is perturbed by a scalar accumulated from step i's loss, so the XLA
+    dataflow forces strictly serial execution (see module docstring).
+    Returns (step, params, batch_stats, opt_state, example_device_batch)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from deepsignal_tpu.core.config import TrainConfig
+    from deepsignal_tpu.models.deepsignal import DeepSignalNet, init_model
+    from deepsignal_tpu.train.trainer import masked_mean_loss
+
+    tcfg = TrainConfig(batch_size=batch, seed=0)
+    model = DeepSignalNet(cfg)
+    _, variables = init_model(cfg, batch_size=8)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = optax.adam(tcfg.learning_rate)
+    opt_state = jax.jit(tx.init)(params)
+
+    def train_step(params, batch_stats, opt_state, b, rng, acc):
+        means = b["means"] + (acc * 1e-12).astype(b["means"].dtype)
+        mask = jnp.ones(b["labels"].shape[0], jnp.float32)
+
+        def loss_fn(p):
+            logits, new_vars = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                b["kmer"], means, b["stds"], b["sanums"], b["signals"],
+                train=True, keep_prob=tcfg.keep_prob,
+                mutable=["batch_stats"], rngs={"dropout": rng})
+            loss = masked_mean_loss(logits, b["labels"], mask,
+                                    cfg.class_num, tcfg.pos_weight)
+            return loss, new_vars["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, opt_state, acc + loss.astype(jnp.float32)
+
+    step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+    rng = np.random.default_rng(3)
+    d = jax.device_put(_make_train_batch(rng, batch, k=cfg.kmer_len,
+                                         s=cfg.cent_signals_len))
+    return step, params, batch_stats, opt_state, d
+
+
+def xla_train_flops_per_site(cfg, batch) -> float:
+    """Training-step FLOPs/site (fwd + bwd + Adam) from an
+    ``lstm_impl="xla"`` compile — see ``xla_flops_per_site``."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = dataclasses.replace(cfg, lstm_impl="xla")
+    step, params, batch_stats, opt_state, d = _build_train_step(cfg, batch)
+    ca = step.lower(params, batch_stats, opt_state, d, jax.random.PRNGKey(7),
+                    jnp.float32(0.0)).compile().cost_analysis()
+    if not ca or "flops" not in ca:
+        return float("nan")
+    return float(ca["flops"]) / batch
+
+
+def measure_serial_train(cfg, batch=BATCH, iters=SERIAL_ITERS,
+                         flops_per_site=None) -> dict:
+    """Serial-chained optimizer-step rate (reference cost center:
+    train_model.py:144-161 — one sess.run([cost, train_opt]) per batch).
+
+    Same timing rules as inference: chained dataflow + ``float(acc)`` fetch
+    as the only trusted sync.  ``flops_per_site`` should come from
+    ``xla_train_flops_per_site`` so the MFU gate is pinned to the
+    XLA-visible op count (fwd + bwd + Adam)."""
+    import jax
+    import jax.numpy as jnp
+
+    step, params, batch_stats, opt_state, _ = _build_train_step(cfg, batch)
+    rng = np.random.default_rng(3)
+    devs = [jax.device_put(_make_train_batch(rng, batch, k=cfg.kmer_len,
+                                             s=cfg.cent_signals_len))
+            for _ in range(iters)]
+    drop = jax.device_put(jax.random.PRNGKey(7))
+    acc = jax.device_put(jnp.float32(0.0))
+
+    # warmup (compile) + fetch-sync
+    params, batch_stats, opt_state, acc = step(params, batch_stats,
+                                               opt_state, devs[0], drop, acc)
+    _ = float(acc)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, batch_stats, opt_state, acc = step(
+            params, batch_stats, opt_state, devs[i], drop, acc)
+    final = float(acc)  # d2h fetch = trusted sync
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final), "train chain produced a non-finite loss"
+
+    rate = batch * iters / dt
+    peak = _chip_peak()
+    if flops_per_site is None:
+        flops_per_site = float("nan")
+    mfu = rate * flops_per_site / peak if np.isfinite(flops_per_site) \
+        else float("nan")
+    return {"batch": batch,
+            "ms_per_step": round(dt / iters * 1e3, 2),
+            "sites_per_s": round(rate),
+            "flops_per_site": (round(flops_per_site)
+                               if np.isfinite(flops_per_site) else None),
+            "mfu": round(mfu, 4) if np.isfinite(mfu) else None,
+            "valid": bool(mfu <= 1.0) if np.isfinite(mfu) else False}
 
 
 class _MeteredBatches:
@@ -303,7 +480,7 @@ def measure_e2e(compute_dtype=None, n_reads=None) -> dict:
             f5dir = os.path.join(tmp, f"f5_{tag}")
             os.makedirs(f5dir)
             n_sites_exp = _write_synthetic_reads(f5dir, n_reads=n_reads,
-                                                 seed=hash(tag) % (1 << 31))
+                                                 seed=TAG_SEEDS.get(tag, 42))
             out_tsv = os.path.join(tmp, f"calls_{tag}.tsv")
             t0 = time.perf_counter()
             if caller is None:  # cold: includes ckpt load + compile
@@ -366,7 +543,7 @@ def measure_featurize_scaling(nprocs=(1, 2, 4), n_reads=192) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def measure_torch_cpu_sites_per_s(max_seconds: float = 240.0) -> float:
+def _build_torch_refnet():
     """torch-CPU stand-in for the TF1-CPU reference: same tensor shapes and
     layer inventory (embedding 1024x128, 3-layer bidirectional LSTM h=256,
     stem convs + 11 five-branch inception blocks at 240 ch, 6032x6032 joint
@@ -446,12 +623,23 @@ def measure_torch_cpu_sites_per_s(max_seconds: float = 240.0) -> float:
             # reference layers.py:256-263); dropout is a no-op at inference.
             return self.fc2(self.fc1(joint))
 
-    net = RefNet().eval()
+    return RefNet()
+
+
+def _torch_batch_args(rng, b):
+    import torch
+    d = _make_batch(rng, b)
+    return (torch.from_numpy(d["kmer"]).long(),
+            torch.from_numpy(d["means"]), torch.from_numpy(d["stds"]),
+            torch.from_numpy(d["sanums"]), torch.from_numpy(d["signals"]))
+
+
+def measure_torch_cpu_sites_per_s(max_seconds: float = 240.0) -> float:
+    import torch
+
+    net = _build_torch_refnet().eval()
     rng = np.random.default_rng(0)
-    b = _make_batch(rng, BATCH)
-    args = (torch.from_numpy(b["kmer"]).long(),
-            torch.from_numpy(b["means"]), torch.from_numpy(b["stds"]),
-            torch.from_numpy(b["sanums"]), torch.from_numpy(b["signals"]))
+    args = _torch_batch_args(rng, BATCH)
     with torch.no_grad():
         net(*args)  # warmup
         done = 0
@@ -462,18 +650,49 @@ def measure_torch_cpu_sites_per_s(max_seconds: float = 240.0) -> float:
     return BATCH * done / (time.time() - t0)
 
 
-def get_baseline_sites_per_s() -> float:
+def measure_torch_cpu_train_sites_per_s(max_seconds: float = 240.0) -> float:
+    """CPU train-step baseline: forward + CE loss + backward + Adam on the
+    reference architecture at batch 512 (train_model.py:144-161)."""
+    import torch
+
+    net = _build_torch_refnet().train()
+    opt = torch.optim.Adam(net.parameters(), lr=1e-3)
+    rng = np.random.default_rng(0)
+    args = _torch_batch_args(rng, BATCH)
+    labels = torch.from_numpy(rng.integers(0, 2, BATCH)).long()
+
+    def one_step():
+        opt.zero_grad(set_to_none=True)
+        loss = torch.nn.functional.cross_entropy(net(*args), labels)
+        loss.backward()
+        opt.step()
+
+    one_step()  # warmup
+    done = 0
+    t0 = time.time()
+    while time.time() - t0 < max_seconds and done < 5:
+        one_step()
+        done += 1
+    return BATCH * done / (time.time() - t0)
+
+
+def get_baseline_sites_per_s() -> dict:
+    """{'torch_cpu_sites_per_s': .., 'torch_cpu_train_sites_per_s': ..},
+    measured once and cached (v3 adds the train-step baseline)."""
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cached = json.load(f)
-            if cached.get("net_version") == 2:  # v2: no fc1 ReLU (parity)
-                return cached["torch_cpu_sites_per_s"]
-    rate = measure_torch_cpu_sites_per_s()
+            if cached.get("net_version") == 3:
+                return cached
+    cached = {"torch_cpu_sites_per_s": measure_torch_cpu_sites_per_s(),
+              "torch_cpu_train_sites_per_s":
+                  measure_torch_cpu_train_sites_per_s(),
+              "net_version": 3,
+              "note": "torch-CPU stand-in for TF1-CPU reference, "
+                      f"batch {BATCH}, {os.cpu_count()} cores"}
     with open(BASELINE_CACHE, "w") as f:
-        json.dump({"torch_cpu_sites_per_s": rate, "net_version": 2,
-                   "note": "torch-CPU stand-in for TF1-CPU reference, "
-                           f"batch {BATCH}, {os.cpu_count()} cores"}, f)
-    return rate
+        json.dump(cached, f)
+    return cached
 
 
 def main() -> int:
@@ -496,13 +715,22 @@ def main() -> int:
     # re-uploading it per config through the tunnel dominates bench runtime
     variables = _init_device_variables(cfg32)
 
+    # one FLOPs/site denominator for every full-model row, pinned to the
+    # XLA-visible (lstm_impl="xla") compile so Pallas-opaque kernels cannot
+    # weaken the MFU physics gate; the op inventory is identical across
+    # lstm_impl and compute_dtype
+    flops_ref = xla_flops_per_site(cfg32, dev_batch, variables=variables)
+
     # serial-chained chip rates (the physics-gated ground truth)
     f32 = measure_serial_model(cfg32, batch=dev_batch, wire="f32",
-                               variables=variables)
+                               variables=variables,
+                               flops_per_site=flops_ref)
     bf16 = measure_serial_model(cfg16, batch=dev_batch, wire="bf16",
-                                variables=variables)
+                                variables=variables,
+                                flops_per_site=flops_ref)
     f32_512 = measure_serial_model(cfg32, batch=(64 if tiny else BATCH),
-                                   wire="f32", variables=variables)
+                                   wire="f32", variables=variables,
+                                   flops_per_site=flops_ref)
     extras["model_f32"] = f32
     extras["model_bf16"] = bf16
     extras["model_f32_b512"] = f32_512
@@ -514,6 +742,18 @@ def main() -> int:
     extras["model_bf16_h2d"] = measure_h2d_pipelined(
         cfg16, batch=dev_batch, wire="bf16", variables=variables,
         serial_rate=bf16["device_sites_per_s"])
+
+    # training: serial-chained optimizer steps (reference train_model.py:
+    # 144-161), physics-gated with the fwd+bwd+Adam XLA flops count
+    train_batch = 64 if tiny else BATCH
+    train_batch_tuned = 64 if tiny else TRAIN_BATCH_TPU
+    train_flops = xla_train_flops_per_site(cfg32, train_batch)
+    extras["train_f32"] = measure_serial_train(
+        cfg32, batch=train_batch, flops_per_site=train_flops)
+    extras["train_bf16"] = measure_serial_train(
+        cfg16, batch=train_batch, flops_per_site=train_flops)
+    extras["train_bf16_tuned"] = measure_serial_train(
+        cfg16, batch=train_batch_tuned, flops_per_site=train_flops)
 
     extras["e2e"] = measure_e2e()
     extras["e2e_bf16"] = measure_e2e(compute_dtype="bfloat16")
@@ -527,7 +767,14 @@ def main() -> int:
         extras["featurize"]["procs_to_saturate_chip_f32"] = round(
             f32["device_sites_per_s"] / feat1, 1)
 
-    baseline = get_baseline_sites_per_s()
+    baselines = get_baseline_sites_per_s()
+    baseline = baselines["torch_cpu_sites_per_s"]
+    train_base = baselines.get("torch_cpu_train_sites_per_s")
+    if train_base:
+        for key in ("train_f32", "train_bf16", "train_bf16_tuned"):
+            extras[key]["vs_torch_cpu_train"] = round(
+                extras[key]["sites_per_s"] / train_base, 2)
+        extras["torch_cpu_train_sites_per_s"] = round(train_base)
     # primary: the measured end-to-end rate (fast5 -> calls TSV) on the
     # >=500-read corpus, warm.  On this 2-core bench host it is capped by
     # host featurization, NOT the chip — the model_* fields carry the
