@@ -755,8 +755,11 @@ def main() -> int:
     extras["train_bf16_tuned"] = measure_serial_train(
         cfg16, batch=train_batch_tuned, flops_per_site=train_flops)
 
-    extras["e2e"] = measure_e2e()
-    extras["e2e_bf16"] = measure_e2e(compute_dtype="bfloat16")
+    # e2e on the SHIPPED default path (bfloat16, runtime/caller.py
+    # DEFAULT_COMPUTE_DTYPE) — this is the headline — plus the f32
+    # reference-parity mode as a secondary row
+    extras["e2e"] = measure_e2e(compute_dtype="bfloat16")
+    extras["e2e_f32"] = measure_e2e()
 
     # chip-feeding requirement: featurize workers needed to saturate one chip
     feat1 = extras["featurize"].get("sites_per_s_1proc", 0)

@@ -375,9 +375,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reads/files per batch, default 50")
     p.add_argument("--compute_dtype", type=str, default=None,
                    choices=["float32", "bfloat16"], required=False,
-                   help="TPU compute dtype: float32 = reference-parity "
-                        "(default), bfloat16 = fast path (bounded drift, "
-                        "see bf16 parity gate test)")
+                   help="TPU compute dtype: bfloat16 = fast path (DEFAULT; "
+                        "drift gated at 0/2048 call flips, docs/PERF.md), "
+                        "float32 = reference-parity mode")
     p.add_argument("--lstm_impl", type=str, default=None,
                    choices=["auto", "xla", "pallas"], required=False,
                    help="LSTM encoder implementation: lax.scan (xla) or the "
@@ -630,7 +630,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 # Subcommands that jit model code; every other subcommand is host-only and
 # must not pay the jax import / accelerator-plugin bootstrap at startup.
-_JAX_SUBCOMMANDS = {"call_mods", "train", "denoise"}
+# "runner" belongs here because its call_mods stage runs in-process
+# (tools/runner.py), so it needs the platform override + compile cache too.
+_JAX_SUBCOMMANDS = {"call_mods", "train", "denoise", "runner"}
 
 
 def main(argv=None) -> int:

@@ -26,6 +26,49 @@ except ImportError:  # pragma: no cover - build-dependent
 MAD_SCALE = 0.6744897501960817
 
 
+def _native_selfcheck() -> bool:
+    """Probe the native kernels against the numpy chain at import time.
+
+    The native segment-stats pass replicates numpy's *pairwise* summation
+    blocking; a numpy built with a different SIMD lane-accumulation order
+    would diverge in the last ulp — enough to flip the 6-decimal rounding.
+    Build-time assumptions are not trusted: mean/std/median are compared
+    bit-for-bit on probe segments covering every pairwise-blocking regime
+    (n<=8 unrolled, 8<n<=128 blocked, n>128 recursive) and the native path
+    is disabled on ANY mismatch (ADVICE r3)."""
+    rng = np.random.RandomState(12345)
+    lengths = np.array([1, 2, 7, 8, 9, 16, 100, 129, 1000, 4096],
+                       dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    sig = np.round(rng.standard_normal(int(lengths.sum())), 6)
+
+    n_means, n_stds = _native.segment_stats(sig, starts, lengths)
+    for i, (s, ln) in enumerate(zip(starts, lengths)):
+        seg = sig[s:s + ln]
+        if n_means[i] != np.mean(seg) or n_stds[i] != np.std(seg):
+            return False
+
+    for ln in (11, 100, 1001):
+        x = rng.standard_normal(ln) * 40 + 420
+        med = np.median(x)
+        scale = float(np.median(np.abs(x - med) / MAD_SCALE))
+        expect = np.around((x - med) / scale, decimals=6)
+        if not np.array_equal(_native.normalize_mad(x), expect):
+            return False
+    return True
+
+
+if _native is not None:
+    try:
+        if not _native_selfcheck():  # pragma: no cover - host-dependent
+            print("warning: native featurize kernels disagree with numpy on "
+                  "this host (different pairwise-summation order?); falling "
+                  "back to the numpy path")
+            _native = None
+    except Exception:  # pragma: no cover - defensive
+        _native = None
+
+
 def rescale_signals(raw_signals: np.ndarray, scaling: float,
                     offset: float) -> np.ndarray:
     """DAC values -> picoamps (extract_features.py:211-212); float64."""

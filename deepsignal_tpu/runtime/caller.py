@@ -229,6 +229,14 @@ def _pad(arr: np.ndarray, batch_size: int) -> np.ndarray:
     return np.concatenate([arr, reps], axis=0)
 
 
+# The shipped call_mods compute dtype.  bfloat16 is the fast path (1.6x the
+# f32 chip rate) and its drift is gated: 0/2048 binary call flips and
+# max |dprob| ~7e-5 vs the CPU true-f32 oracle on real hardware
+# (docs/PERF.md; regression-gated by tests/test_bf16_gate.py).  Pass
+# compute_dtype="float32" for the bit-parity mode.
+DEFAULT_COMPUTE_DTYPE = "bfloat16"
+
+
 def run_call_mods(input_path: str, model_path: str, result_file: str,
                   feature_cfg, batch_size: int = 4096, nproc: int = 2,
                   f5_batch_num: int = 50, reference_path=None,
@@ -239,6 +247,10 @@ def run_call_mods(input_path: str, model_path: str, result_file: str,
     """Top-level call_mods driver (call_modifications.py:417-495): dispatch
     on fast5-dir vs feature-TSV input, stream batches through the jitted
     caller, write the 10-column call TSV.  Returns the call count.
+
+    ``compute_dtype=None`` selects the shipped default
+    (``DEFAULT_COMPUTE_DTYPE`` = bfloat16); pass "float32" for the
+    reference-parity path.
 
     Multi-host: when launched under ``jax.distributed`` (process_count > 1)
     each host consumes its stride shard of the input — of the fast5 list for
@@ -260,19 +272,16 @@ def run_call_mods(input_path: str, model_path: str, result_file: str,
     start = time.time()
     cfg, variables = load_checkpoint(os.path.abspath(model_path),
                                      cfg=model_cfg_override)
-    if compute_dtype or lstm_impl:
-        # perf knobs orthogonal to the checkpointed architecture:
-        # bfloat16 is the fast path (drift bounded by the bf16 parity gate,
-        # tests/test_net_oracle.py); lstm_impl picks the scan vs the fused
-        # Pallas encoder kernel
-        import dataclasses
-        cfg = dataclasses.replace(
-            cfg,
-            **({"compute_dtype": compute_dtype,
-                "matmul_precision":
-                    "default" if compute_dtype == "bfloat16" else "highest"}
-               if compute_dtype else {}),
-            **({"lstm_impl": lstm_impl} if lstm_impl else {}))
+    compute_dtype = compute_dtype or DEFAULT_COMPUTE_DTYPE
+    # perf knobs orthogonal to the checkpointed architecture; lstm_impl
+    # picks the scan vs the fused Pallas encoder kernel
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg,
+        compute_dtype=compute_dtype,
+        matmul_precision=("default" if compute_dtype == "bfloat16"
+                          else "highest"),
+        **({"lstm_impl": lstm_impl} if lstm_impl else {}))
     # Host-LOCAL mesh: inference has zero cross-host data dependencies, so
     # each host runs its own mesh over its addressable chips on its own read
     # shard (no lockstep batch-count requirement between hosts, no
@@ -324,10 +333,15 @@ def call_mods_on_batches(caller: ModCaller,
 
     count = 0
     in_flight: deque = deque()
-    seen_reads: set = set()  # exact read accounting: first appearance counts
+    # Exact read accounting with O(batch) memory: a read's rows are
+    # contiguous in the stream (the v0.1.10 read-grouping contract holds
+    # through coalesce_feature_batches), so a read id can only recur in the
+    # IMMEDIATELY previous drained batch — deduping against that small set
+    # gives the same exact count as an unbounded all-run set would.
+    prev_reads: set = set()
     with open(out_path, "w") as wf:
         def drain_one():
-            nonlocal count
+            nonlocal count, prev_reads
             handle = in_flight.popleft()
             fb = handle[0]
             rows, _, _ = caller.collect(handle, is_dna=is_dna)
@@ -335,11 +349,10 @@ def call_mods_on_batches(caller: ModCaller,
                 wf.write(r + "\n")
             count += len(rows)
             if meter is not None and fb.sampleinfo:
-                n_before = len(seen_reads)
-                seen_reads.update(s.split("\t", 5)[4]
-                                  for s in fb.sampleinfo)
+                cur = {s.split("\t", 5)[4] for s in fb.sampleinfo}
                 meter.update(sites=len(rows),
-                             reads=len(seen_reads) - n_before)
+                             reads=len(cur - prev_reads))
+                prev_reads = cur
             wf.flush()
 
         for fb in coalesce_feature_batches(batches, caller.batch_size):

@@ -47,39 +47,57 @@ class _host_worker_env:
     Featurize/IO workers are pure numpy/h5py — they must not pay the
     accelerator-plugin bootstrap (a ``sitecustomize.py`` on PYTHONPATH that
     imports jax + registers a TPU backend costs seconds per spawned worker
-    and may dial the device transport).  Inside this context, PYTHONPATH
-    entries that carry a ``sitecustomize.py`` are dropped and
-    ``JAX_PLATFORMS=cpu`` is pinned so an accidental jax import in a worker
-    can never touch the TPU.  The parent env is restored on exit (spawned
-    children snapshot the env at ``Process.start``).
+    and may dial the device transport).  Inside this context:
 
-    The mutation of process-global ``os.environ`` is serialized by a module
-    lock so two pipelines spawning concurrently (e.g. from threads) cannot
-    observe each other's half-modified env."""
+    1. The env gates the known accelerator hook keys on (``_ACCEL_ENV_GATES``)
+       are unset — the hook itself is a no-op without them, making the
+       opt-out robust regardless of where the hook file lives.
+    2. As fallback for unknown hooks, PYTHONPATH entries whose
+       ``sitecustomize.py`` looks like an accelerator bootstrap are dropped.
+    3. ``JAX_PLATFORMS=cpu`` is pinned so an accidental jax import in a
+       worker can never touch the TPU.
+
+    The parent env is restored on exit (spawned children snapshot the env at
+    ``Process.start``).  The mutation of process-global ``os.environ`` is
+    serialized by a module lock so two pipelines spawning concurrently (e.g.
+    from threads) cannot observe each other's half-modified env."""
 
     _lock = threading.Lock()
 
+    # The baked axon site hook begins with ``if os.environ.get(
+    # "PALLAS_AXON_POOL_IPS"):`` — without the gate it does nothing, so
+    # unsetting it is the sanctioned opt-out (no file sniffing needed for
+    # the known hook).
+    _ACCEL_ENV_GATES = ("PALLAS_AXON_POOL_IPS",)
+
     @staticmethod
     def _is_accel_hook(entry: str) -> bool:
-        """True only for PYTHONPATH entries whose sitecustomize.py is an
-        accelerator-plugin bootstrap (imports jax / registers a backend);
-        a sitecustomize that merely tweaks paths must survive, as must
-        empty entries (which mean cwd)."""
+        """Fallback classifier for UNKNOWN hooks: True for PYTHONPATH
+        entries whose sitecustomize.py is an accelerator-plugin bootstrap
+        (imports jax / registers a backend).  A sitecustomize that merely
+        tweaks paths must survive, as must empty entries (= cwd) and
+        entries with no sitecustomize at all; a sitecustomize that EXISTS
+        but cannot be read is dropped (cannot prove it harmless)."""
         if not entry:
             return False
         sc = os.path.join(entry, "sitecustomize.py")
+        if not os.path.exists(sc):
+            return False
         try:
             with open(sc, "r", errors="replace") as f:
-                head = f.read(8192)
+                text = f.read()
         except OSError:
-            return False
-        return ("jax" in head or "axon" in head
-                or "register" in head and "PJRT" in head)
+            return True
+        return ("import jax" in text or "axon" in text
+                or ("register" in text and "PJRT" in text))
 
     def __enter__(self):
         self._lock.acquire()
         self._saved = {k: os.environ.get(k)
-                       for k in ("PYTHONPATH", "JAX_PLATFORMS")}
+                       for k in (("PYTHONPATH", "JAX_PLATFORMS")
+                                 + self._ACCEL_ENV_GATES)}
+        for k in self._ACCEL_ENV_GATES:
+            os.environ.pop(k, None)
         entries = os.environ.get("PYTHONPATH", "").split(os.pathsep)
         keep = [e for e in entries if not self._is_accel_hook(e)]
         os.environ["PYTHONPATH"] = os.pathsep.join(keep)

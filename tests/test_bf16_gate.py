@@ -1,0 +1,54 @@
+"""The bfloat16 default-flip gate (VERDICT r3 #3).
+
+``call_mods`` ships bfloat16 as the default compute dtype
+(runtime/caller.py DEFAULT_COMPUTE_DTYPE); this gate is the regression
+contract behind that flip: on the FULL-SIZE reference architecture and
+>=2048 sites, the production ModCaller bf16 path must produce ZERO binary
+call flips vs the f32 parity path and bounded prob drift.  The on-hardware
+counterpart (TPU vs CPU true-f32) is scripts/check_tpu_parity.py, recorded
+in docs/PERF.md (0/2048 flips, max |dprob| 7.1e-5).
+"""
+
+import dataclasses
+
+import numpy as np
+
+from deepsignal_tpu.core.config import ModelConfig
+from deepsignal_tpu.io.feature_codec import FeatureBatch
+from deepsignal_tpu.models.deepsignal import init_model
+from deepsignal_tpu.runtime.caller import DEFAULT_COMPUTE_DTYPE, ModCaller
+
+N_SITES = 2048
+
+
+def test_shipped_default_is_bfloat16():
+    assert DEFAULT_COMPUTE_DTYPE == "bfloat16"
+
+
+def test_bf16_zero_call_flips_full_size(rng):
+    cfg32 = ModelConfig()  # full-size: 3x256 BiLSTM, 11 inception blocks
+    cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16",
+                                matmul_precision="default")
+    _, variables = init_model(cfg32, batch_size=8)
+
+    fb = FeatureBatch(
+        sampleinfo=[f"chr1\t{i}\t+\t{i}\tread{i // 64}\tt"
+                    for i in range(N_SITES)],
+        kmers=rng.integers(0, 4, (N_SITES, 17)).astype(np.int32),
+        means=rng.normal(0, 1, (N_SITES, 17)).astype(np.float32),
+        stds=np.abs(rng.normal(0, 1, (N_SITES, 17))).astype(np.float32),
+        lens=rng.integers(1, 40, (N_SITES, 17)).astype(np.int64),
+        signals=rng.normal(0, 1, (N_SITES, 360)).astype(np.float32),
+        labels=np.ones(N_SITES, dtype=np.int32))
+
+    caller32 = ModCaller(cfg32, variables, batch_size=N_SITES)
+    _, pred32, (p032, p132) = caller32.call_feature_batch(fb)
+    caller16 = ModCaller(cfg16, variables, batch_size=N_SITES)
+    _, pred16, (p016, p116) = caller16.call_feature_batch(fb)
+
+    flips = int((pred32 != pred16).sum())
+    max_dp = float(np.max(np.abs(p132 - p116)))
+    assert flips == 0, f"{flips}/{N_SITES} binary call flips bf16 vs f32"
+    # hardware-measured drift is ~7e-5 (docs/PERF.md); allow backend slack
+    # but stay far inside any decision boundary
+    assert max_dp < 5e-3, f"bf16 prob drift {max_dp:.2e} too large"

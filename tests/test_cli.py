@@ -194,10 +194,14 @@ def test_call_mods_cli_end_to_end(tmp_path, rng):
     save_checkpoint(ckpt, cfg, variables)
 
     calls_dir = str(tmp_path / "calls_dir.tsv")
+    # the dir-vs-file comparison below asserts 1e-5 prob closeness, so both
+    # runs pin the f32 parity path (the shipped bfloat16 default is gated
+    # separately, tests/test_bf16_gate.py)
     assert main(["call_mods", "-i", str(f5dir), "-m", ckpt,
                  "-o", calls_dir, "--kmer_len", "5",
                  "--cent_signals_len", "24", "--nproc", "2",
-                 "--f5_batch_num", "2", "--batch_size", "64"]) == 0
+                 "--f5_batch_num", "2", "--batch_size", "64",
+                 "--compute_dtype", "float32"]) == 0
     rows = open(calls_dir).read().splitlines()
     assert rows and all(len(r.split("\t")) == 10 for r in rows)
     # prob columns renormalize to 1
@@ -211,7 +215,7 @@ def test_call_mods_cli_end_to_end(tmp_path, rng):
     calls_file = str(tmp_path / "calls_file.tsv")
     assert main(["call_mods", "-i", fea, "-m", ckpt, "-o", calls_file,
                  "--kmer_len", "5", "--cent_signals_len", "24",
-                 "--batch_size", "64"]) == 0
+                 "--batch_size", "64", "--compute_dtype", "float32"]) == 0
     rows_f = sorted(open(calls_file).read().splitlines())
     # dir-mode and file-mode call the same sites with float32-close probs
     # (not byte-equal: the TSV round-trips features through 6-decimal

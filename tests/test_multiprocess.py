@@ -153,14 +153,16 @@ def _worker_main(pid: int, port: int, workdir: str) -> None:
     run_call_mods(os.path.join(workdir, "f5"),
                   os.path.join(workdir, "ckpt"),
                   os.path.join(workdir, "calls_mp.tsv"),
-                  fcfg, batch_size=BATCH, nproc=2, f5_batch_num=2)
+                  fcfg, batch_size=BATCH, nproc=2, f5_batch_num=2,
+                  compute_dtype="float32")
 
     # -- part A2: sharded call_mods over a feature TSV (stride shard of the
     #    read-grouped batch stream; every host must NOT score the whole file)
     run_call_mods(os.path.join(workdir, "features.tsv"),
                   os.path.join(workdir, "ckpt"),
                   os.path.join(workdir, "calls_file_mp.tsv"),
-                  fcfg, batch_size=BATCH, nproc=2, f5_batch_num=2)
+                  fcfg, batch_size=BATCH, nproc=2, f5_batch_num=2,
+                  compute_dtype="float32")
 
     # -- part B: global-mesh training steps (put_batch + psum'd counts)
     mesh = make_mesh()
@@ -221,7 +223,8 @@ def test_two_process_call_mods_matches_single_process(mp_run, tmp_path):
     fcfg = FeatureConfig(kmer_len=TINY["kmer_len"],
                          cent_signals_len=TINY["cent_signals_len"])
     run_call_mods(os.path.join(mp_run, "f5"), os.path.join(mp_run, "ckpt"),
-                  single, fcfg, batch_size=BATCH, nproc=2, f5_batch_num=2)
+                  single, fcfg, batch_size=BATCH, nproc=2, f5_batch_num=2,
+                  compute_dtype="float32")
 
     merged_lines = sorted(open(merged, "rb").read().splitlines())
     single_lines = sorted(open(single, "rb").read().splitlines())
@@ -255,7 +258,8 @@ def test_two_process_file_mode_matches_single_process(mp_run, tmp_path):
                          cent_signals_len=TINY["cent_signals_len"])
     run_call_mods(os.path.join(mp_run, "features.tsv"),
                   os.path.join(mp_run, "ckpt"), single, fcfg,
-                  batch_size=BATCH, nproc=2, f5_batch_num=2)
+                  batch_size=BATCH, nproc=2, f5_batch_num=2,
+                  compute_dtype="float32")
 
     merged_lines = sorted(open(merged, "rb").read().splitlines())
     single_lines = sorted(open(single, "rb").read().splitlines())

@@ -38,6 +38,11 @@ def test_param_shardings_tp():
     assert fc1.spec == jax.sharding.PartitionSpec(None, MODEL_AXIS)
     emb = shards["embedding"]
     assert emb.spec == jax.sharding.PartitionSpec()
+    # exactly one tp-sharded leaf (the fc1 kernel); a silent degradation to
+    # all-replicated OR an accidental extra sharded param both fail here
+    n_tp = sum(1 for s in jax.tree.leaves(shards)
+               if s.spec != jax.sharding.PartitionSpec())
+    assert n_tp == 1
 
 
 def _rows(rng, n):
