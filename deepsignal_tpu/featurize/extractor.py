@@ -180,22 +180,34 @@ def read_features_to_batch(feats_list: list) -> Optional["FeatureBatch"]:
     from ..io.feature_codec import FeatureBatch
     if not feats_list:
         return None
+    # Hot path (one call per worker file-batch).  Two measured wins vs the
+    # naive form (profile_featurize.py): ``tolist()`` + string concat avoids
+    # a numpy-scalar box + int() per field (~10x on the sampleinfo build),
+    # and ``np.concatenate(..., dtype=)`` fuses the f64->f32 cast into the
+    # copy instead of materializing the f64 concat first.
     sampleinfo = []
     for f in feats_list:
-        for i in range(len(f)):
-            sampleinfo.append("\t".join([
-                f.chrom, str(int(f.pos[i])), f.align_strand,
-                str(int(f.pos_in_strand[i])), f.readname, f.read_strand]))
+        head = f.chrom + "\t"
+        mid = "\t" + f.align_strand + "\t"
+        tail = "\t" + f.readname + "\t" + f.read_strand
+        sampleinfo += [head + str(p) + mid + str(q) + tail
+                       for p, q in zip(f.pos.tolist(),
+                                       f.pos_in_strand.tolist())]
+    counts = [len(f) for f in feats_list]
     return FeatureBatch(
         sampleinfo=sampleinfo,
-        kmers=np.concatenate([f.kmers for f in feats_list]).astype(np.int32),
-        means=np.concatenate([f.means for f in feats_list]).astype(np.float32),
-        stds=np.concatenate([f.stds for f in feats_list]).astype(np.float32),
-        lens=np.concatenate([f.lens for f in feats_list]).astype(np.int32),
-        signals=np.concatenate([f.cent_signals
-                                for f in feats_list]).astype(np.float32),
-        labels=np.asarray([f.methy_label for f in feats_list
-                           for _ in range(len(f))], dtype=np.int32),
+        kmers=np.concatenate([f.kmers for f in feats_list],
+                             dtype=np.int32),
+        means=np.concatenate([f.means for f in feats_list],
+                             dtype=np.float32),
+        stds=np.concatenate([f.stds for f in feats_list],
+                            dtype=np.float32),
+        lens=np.concatenate([f.lens for f in feats_list],
+                            dtype=np.int32),
+        signals=np.concatenate([f.cent_signals for f in feats_list],
+                               dtype=np.float32),
+        labels=np.repeat(np.asarray([f.methy_label for f in feats_list],
+                                    dtype=np.int32), counts),
     )
 
 

@@ -86,19 +86,37 @@ def normalize_signals(signals: np.ndarray,
     if normalize_method == "zscore":
         sshift, sscale = np.mean(signals), float(np.std(signals))
     elif normalize_method == "mad":
-        if _native is not None:
-            # one C pass: median + scaled-MAD + normalize + round, proven
-            # bit-exact vs the numpy chain below (tests/test_native.py)
-            return _native.normalize_mad(signals)
-        med = np.median(signals)
+        if signals.size == 0:
+            return signals
+        # Fast bit-exact median: numpy's SIMD introselect with a SINGLE kth
+        # is ~5x faster than np.median's dual-kth path (measured 0.14 vs
+        # 0.81 ms at n=57k); the even-length upper middle is recovered as
+        # the min of the right partition.  Values are identical to
+        # np.median: the kth order statistic does not depend on the
+        # selection algorithm, and the even-length mean is the same
+        # (lo + hi) / 2 double op.  (This numpy chain also beats the native
+        # C kernel, whose libstdc++ nth_element lacks numpy's SIMD sort —
+        # measured 0.7 vs 1.4 ms/read — so the native normalize is no
+        # longer preferred; it remains exercised by tests/test_native.py.)
+        med = _fast_median(signals)
         # statsmodels.robust.mad divides elementwise by c BEFORE taking the
         # median; mirror that op order for bit-exact parity
         sshift = med
-        sscale = float(np.median(np.abs(signals - med) / MAD_SCALE))
+        sscale = float(_fast_median(np.abs(signals - med) / MAD_SCALE))
     else:
         raise ValueError("normalize_method must be 'mad' or 'zscore'")
     norm = (signals - sshift) / sscale
     return np.around(norm, decimals=6)
+
+
+def _fast_median(x: np.ndarray) -> float:
+    """np.median, bit-exact, via one single-kth SIMD partition."""
+    n = x.shape[0]
+    k = (n - 1) // 2
+    part = np.partition(x, k)
+    if n % 2:
+        return float(part[k])
+    return float((part[k] + part[k + 1:].min()) / 2.0)
 
 
 def segment_stats(norm_signals: np.ndarray, starts: np.ndarray,
