@@ -8,7 +8,11 @@ Prints ONE JSON line:
   featurize -> jit TPU inference -> 10-column call TSV — on a >=500-read
   synthetic corpus (6 kb reads, CpGs planted every 60 bases = yeast-like
   density), warm (model compiled; worker spawn included in the wall clock,
-  and a separate steady_state rate excludes the startup ramp).
+  and a separate steady_state rate excludes the startup ramp), on the
+  SHIPPED default path (bfloat16, runtime/caller.py); e2e_f32 carries the
+  reference-parity mode.
+- train_* fields: serial-chained optimizer-step rates (fwd+bwd+Adam) with
+  their own physics gate, plus a torch-CPU train-step baseline ratio.
 - vs_baseline: our e2e sites/s vs a measured torch-CPU implementation of the
   reference architecture doing MODEL-ONLY inference (generous to the
   baseline: the TF1-CPU reference also pays featurization, which is slower
