@@ -41,6 +41,26 @@ from ..io.feature_codec import FeatureBatch, iter_feature_batches_by_read
 QUEUE_MAX_BATCHES = 100  # backpressure bound (vs reference's qsize polling)
 
 
+def _worker_context():
+    """Multiprocessing context for host-side workers.
+
+    ``forkserver`` when available (Linux): the server process preloads the
+    jax-free worker import tree once, and every later worker is a ~20 ms
+    fork instead of a ~0.7 s fresh-interpreter import (measured; the spawn
+    cost dominated short call_mods runs).  The server is first launched
+    inside ``_host_worker_env``, so it — and every worker forked from it —
+    carries the accelerator-free environment.  Falls back to ``spawn``
+    elsewhere."""
+    try:
+        ctx = mp.get_context("forkserver")
+    except ValueError:  # pragma: no cover - platform-dependent
+        return mp.get_context("spawn")
+    ctx.set_forkserver_preload(["deepsignal_tpu.featurize.extractor",
+                                "deepsignal_tpu.io.fast5",
+                                "deepsignal_tpu.io.feature_codec"])
+    return ctx
+
+
 class _host_worker_env:
     """Start host-side workers with an accelerator-free interpreter.
 
@@ -218,7 +238,7 @@ def run_extract(fast5_dir: str, write_path: str, cfg: FeatureConfig,
         fast5_dir, cfg, reference_path, position_file, is_recursive)
 
     n_workers = max(1, nproc - 1) if nproc > 1 else 1
-    ctx = mp.get_context("spawn")
+    ctx = _worker_context()
     fast5s_q = ctx.JoinableQueue()
     rows_q = ctx.Queue(maxsize=QUEUE_MAX_BATCHES)
     errornum_q = ctx.Queue()
@@ -291,7 +311,7 @@ def stream_fast5_feature_batches(fast5_dir: str, cfg: FeatureConfig,
         host_shard)
 
     n_workers = max(1, nproc - 1)
-    ctx = mp.get_context("spawn")
+    ctx = _worker_context()
     fast5s_q = ctx.JoinableQueue()
     batch_q = ctx.Queue(maxsize=QUEUE_MAX_BATCHES)
 
@@ -388,7 +408,7 @@ def stream_file_feature_batches(features_file: str, reads_per_batch: int = 50,
         yield from iter_feature_batches_by_read(features_file,
                                                 reads_per_batch, host_shard)
         return
-    ctx = mp.get_context("spawn")
+    ctx = _worker_context()
     batch_q = ctx.Queue(maxsize=QUEUE_MAX_BATCHES)
     reader = ctx.Process(target=_file_reader_proc,
                          args=(features_file, batch_q, reads_per_batch,

@@ -94,11 +94,14 @@ def test_stream_survives_worker_crash(fast5_dir):
     # every submitted batch is either received or accounted as lost
     assert stats["n_batches"] == 6
     assert stats["crashed_workers"] == 1
-    assert 0 <= stats["lost_batches"] <= 2
+    # SIGKILL can lose every batch the victim claimed whose result was
+    # still in its queue-feeder thread — with fast forkserver workers that
+    # can be several, so the bound is "not all of them" (the surviving
+    # worker keeps producing), and the accounting must be exact:
+    assert 0 <= stats["lost_batches"] < stats["n_batches"]
     received = 1 + len(rest)
-    assert received >= stats["n_batches"] - stats["lost_batches"] - 2
-    # note: received counts only non-empty FeatureBatches; the accounting
-    # invariant is on markers, asserted via lost_batches above
+    # every non-lost batch arrives (all are non-empty in this fixture)
+    assert received == stats["n_batches"] - stats["lost_batches"]
 
 
 def test_stream_file_batches_background(tmp_path, rng):
