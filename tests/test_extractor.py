@@ -163,3 +163,37 @@ def test_get_fast5s_discovery(tmp_path):
     (tmp_path / "z.txt").write_bytes(b"")
     assert len(get_fast5s(str(tmp_path), True)) == 2
     assert len(get_fast5s(str(tmp_path), False)) == 1
+
+
+def test_reader_error_semantics(tmp_path, rng):
+    """The low-level fast5 reader must keep the reference's fault contract
+    (extract_features.py:136-140, 281-283): missing Alignment (or the whole
+    corrected group) -> None (skipped silently); missing Events or Raw with
+    the Alignment present -> an exception the batch loop counts as an
+    error."""
+    import shutil
+
+    import h5py
+
+    d = _synth_read(rng, n_events=60)
+    base = _write_f5(tmp_path, "base.fast5", d)
+    strand = "Analyses/RawGenomeCorrected_000/BaseCalled_template"
+
+    def variant(name, delete):
+        p = tmp_path / name
+        shutil.copy(base, p)
+        with h5py.File(p, "a") as h5:
+            del h5[delete]
+        return str(p)
+
+    assert read_resquiggled_fast5(
+        variant("noalign.fast5", strand + "/Alignment")) is None
+    assert read_resquiggled_fast5(
+        variant("nogroup.fast5", "Analyses")) is None
+    with pytest.raises(RuntimeError, match="events not found"):
+        read_resquiggled_fast5(variant("noevents.fast5", strand + "/Events"))
+    with pytest.raises(RuntimeError, match="Raw data"):
+        read_resquiggled_fast5(variant("noraw.fast5", "Raw"))
+    with pytest.raises(Exception):
+        read_resquiggled_fast5(str(tmp_path / "missing.fast5"))
+    assert read_resquiggled_fast5(base) is not None
