@@ -299,10 +299,10 @@ def measure_h2d_pipelined(cfg, batch=DEVICE_BATCH, wire=None, iters=8,
             "with_h2d_sites_per_s": round(rate),
             "ms_per_batch_with_h2d": round(batch / rate * 1e3, 2),
             "valid": valid,
-            # h2d on this bench host rides the experimental tunnel, whose
-            # bandwidth swings 11-54 MB/s run-to-run — diagnostic only, not
-            # representative of real PCIe (docs/PERF.md)
-            "tunnel_limited": True}
+            # when h2d rides the experimental tunnel (detected by its env
+            # gate), bandwidth swings 11-54 MB/s run-to-run — diagnostic
+            # only, not representative of real PCIe (docs/PERF.md)
+            "tunnel_limited": bool(os.environ.get("PALLAS_AXON_POOL_IPS"))}
 
 
 def _make_train_batch(rng, b, k=17, s=360):

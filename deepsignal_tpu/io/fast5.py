@@ -107,11 +107,15 @@ def read_resquiggled_fast5(fast5_path: str,
             read_name = reads.get_objname_by_idx(0)
             read_path = READS_GROUP.encode() + b"/" + read_name
             _, raw_signal = _dataset(fid, read_path + b"/Signal")
-            read_id = _decode_attr(_attr(h5py.h5o.open(fid, read_path),
-                                         b"read_id"))
         except Exception as e:
             raise RuntimeError(
                 "Raw data is not stored in Raw/Reads/Read_[read#]") from e
+        try:
+            read_id = _decode_attr(_attr(h5py.h5o.open(fid, read_path),
+                                         b"read_id"))
+        except KeyError as e:
+            raise KeyError("no read_id attribute on " +
+                           read_path.decode()) from e
 
         try:
             align_oid = h5py.h5o.open(fid, strand_path + b"/Alignment")

@@ -352,7 +352,11 @@ def call_mods_on_batches(caller: ModCaller,
     # contiguous in the stream (the v0.1.10 read-grouping contract holds
     # through coalesce_feature_batches), so a read id can only recur in the
     # IMMEDIATELY previous drained batch — deduping against that small set
-    # gives the same exact count as an unbounded all-run set would.
+    # gives the same exact count as an unbounded all-run set would.  On a
+    # user-supplied TSV that VIOLATES the grouping contract (a read's rows
+    # scattered non-contiguously), each contiguous run counts as one read
+    # appearance — the meter is a throughput diagnostic, and the scored
+    # output itself is unaffected either way.
     prev_reads: set = set()
     with open(out_path, "w") as wf:
         def drain_one():

@@ -41,6 +41,9 @@ from ..io.feature_codec import FeatureBatch, iter_feature_batches_by_read
 QUEUE_MAX_BATCHES = 100  # backpressure bound (vs reference's qsize polling)
 
 
+_forkserver_claimed = False
+
+
 def _worker_context():
     """Multiprocessing context for host-side workers.
 
@@ -49,12 +52,31 @@ def _worker_context():
     fork instead of a ~0.7 s fresh-interpreter import (measured; the spawn
     cost dominated short call_mods runs).  The server is first launched
     inside ``_host_worker_env``, so it — and every worker forked from it —
-    carries the accelerator-free environment.  Falls back to ``spawn``
-    elsewhere."""
+    carries the accelerator-free environment snapshotted at THAT first
+    launch (all pipelines in a process want the same cleaned env; later
+    operator env changes intentionally do not reach workers).
+
+    The stdlib forkserver is a per-process singleton: if some OTHER
+    component already started it, its env was not cleaned by
+    ``_host_worker_env`` and workers forked from it could carry an
+    initialized accelerator runtime — in that case (and wherever forkserver
+    is unavailable) fall back to ``spawn``, whose children snapshot the env
+    per ``Process.start``."""
+    global _forkserver_claimed
     try:
         ctx = mp.get_context("forkserver")
     except ValueError:  # pragma: no cover - platform-dependent
         return mp.get_context("spawn")
+    if not _forkserver_claimed:
+        try:
+            from multiprocessing import forkserver as _fs
+            foreign = getattr(_fs._forkserver, "_forkserver_pid",
+                              None) is not None
+        except Exception:  # pragma: no cover - stdlib-internal probe
+            foreign = True
+        if foreign:
+            return mp.get_context("spawn")
+        _forkserver_claimed = True
     ctx.set_forkserver_preload(["deepsignal_tpu.featurize.extractor",
                                 "deepsignal_tpu.io.fast5",
                                 "deepsignal_tpu.io.feature_codec"])
@@ -87,8 +109,16 @@ class _host_worker_env:
     # The baked axon site hook begins with ``if os.environ.get(
     # "PALLAS_AXON_POOL_IPS"):`` — without the gate it does nothing, so
     # unsetting it is the sanctioned opt-out (no file sniffing needed for
-    # the known hook).
+    # the known hook).  Deployments whose hook keys on a different env var
+    # can extend the list via DEEPSIGNAL_TPU_ACCEL_ENV_GATES
+    # (comma-separated names).
     _ACCEL_ENV_GATES = ("PALLAS_AXON_POOL_IPS",)
+
+    @classmethod
+    def _gates(cls):
+        extra = os.environ.get("DEEPSIGNAL_TPU_ACCEL_ENV_GATES", "")
+        return cls._ACCEL_ENV_GATES + tuple(
+            g for g in (x.strip() for x in extra.split(",")) if g)
 
     @staticmethod
     def _is_accel_hook(entry: str) -> bool:
@@ -108,15 +138,17 @@ class _host_worker_env:
                 text = f.read()
         except OSError:
             return True
-        return ("import jax" in text or "axon" in text
-                or ("register" in text and "PJRT" in text))
+        import re
+        return bool(re.search(r"(?m)^\s*(?:import|from)\s+jax\b", text)
+                    or "axon" in text
+                    or ("register" in text and "PJRT" in text))
 
     def __enter__(self):
         self._lock.acquire()
+        gates = self._gates()
         self._saved = {k: os.environ.get(k)
-                       for k in (("PYTHONPATH", "JAX_PLATFORMS")
-                                 + self._ACCEL_ENV_GATES)}
-        for k in self._ACCEL_ENV_GATES:
+                       for k in (("PYTHONPATH", "JAX_PLATFORMS") + gates)}
+        for k in gates:
             os.environ.pop(k, None)
         entries = os.environ.get("PYTHONPATH", "").split(os.pathsep)
         keep = [e for e in entries if not self._is_accel_hook(e)]

@@ -12,6 +12,7 @@ import sys
 
 def load(path):
     rows = {}
+    n = 0
     with open(path) as f:
         for line in f:
             w = line.rstrip("\n").split("\t")
@@ -19,6 +20,10 @@ def load(path):
                 raise ValueError(f"{path}: expected 10 columns, got {len(w)}")
             rows[(w[0], w[1], w[2], w[4])] = (float(w[6]), float(w[7]),
                                               w[8], w[9])
+            n += 1
+    if n != len(rows):
+        raise ValueError(f"{path}: {n - len(rows)} duplicate "
+                         "(chrom,pos,strand,readname) rows")
     return rows
 
 
