@@ -452,7 +452,9 @@ def measure_e2e(compute_dtype=None, n_reads=None) -> dict:
     """fast5 dir -> streaming featurize -> jit call -> TSV, >=500 reads.
 
     ``cold`` = one-shot wall clock including checkpoint load, param upload,
-    and jit compile (what a single short CLI run pays); ``warm`` = the same
+    and a FULL jit compile (the CLI additionally keeps a persistent XLA
+    cache, so real repeat runs pay less; the bench compiles fresh every
+    time so cold numbers stay comparable across rounds); ``warm`` = the same
     pipeline with the caller already compiled, on FRESH reads (what a long
     run converges to; fresh data so no tunnel-side caching can flatter it).
     ``steady_state_sites_per_s`` times from the first featurized batch to

