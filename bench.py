@@ -640,6 +640,35 @@ def _torch_batch_args(rng, b):
             torch.from_numpy(d["sanums"]), torch.from_numpy(d["signals"]))
 
 
+def measure_extract(n_reads=128, nproc=3) -> dict:
+    """``extract`` subcommand rate: fast5 dir -> 12-column feature TSV
+    (reference workload extract_features.py:424-478), via the production
+    ``run_extract`` driver (workers + writer process)."""
+    from deepsignal_tpu.core.config import FeatureConfig
+    from deepsignal_tpu.runtime.pipeline import run_extract
+
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    if tiny:
+        n_reads = 6
+    tmp = tempfile.mkdtemp(prefix="bench_ext_")
+    try:
+        f5 = os.path.join(tmp, "f5")
+        os.makedirs(f5)
+        _write_synthetic_reads(f5, n_reads=n_reads, seed=77)
+        out = os.path.join(tmp, "features.tsv")
+        t0 = time.perf_counter()
+        errors = run_extract(f5, out, FeatureConfig(), nproc=nproc,
+                             f5_batch_num=16)
+        dt = time.perf_counter() - t0
+        n_rows = sum(1 for _ in open(out))
+        assert errors == 0 and n_rows > 0
+        return {"sites_per_s": round(n_rows / dt),
+                "reads_per_s": round(n_reads / dt, 1),
+                "wall_s": round(dt, 2), "nproc": nproc, "rows": n_rows}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def measure_torch_cpu_sites_per_s(max_seconds: float = 240.0) -> float:
     import torch
 
@@ -712,6 +741,7 @@ def main() -> int:
 
     extras = {}
     extras["featurize"] = measure_featurize_scaling()
+    extras["extract"] = measure_extract()
 
     cfg32 = ModelConfig(**size)
     cfg16 = ModelConfig(compute_dtype="bfloat16", matmul_precision="default",
