@@ -11,8 +11,7 @@ data axis and params are replicated (SURVEY.md §2.3 TPU-native equivalents).
 
 from __future__ import annotations
 
-import functools
-from typing import Iterable, Iterator, Optional
+from typing import Iterable, Iterator
 
 import jax
 import jax.numpy as jnp
