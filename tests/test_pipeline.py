@@ -157,3 +157,21 @@ def test_extraction_deterministic_across_worker_counts(tmp_path, rng):
         run_extract(str(f5dir), str(out), cfg, nproc=nproc, f5_batch_num=2)
         outs.append(sorted(out.read_text().splitlines()))
     assert outs[0] and outs[0] == outs[1]
+
+
+def test_worker_context_foreign_forkserver(monkeypatch):
+    """A forkserver started by ANYONE ELSE was not launched inside
+    _host_worker_env, so its workers could carry an accelerator runtime —
+    _worker_context must fall back to spawn; once WE claimed the server it
+    keeps using forkserver."""
+    import multiprocessing.forkserver as fs
+
+    from deepsignal_tpu.runtime import pipeline
+
+    monkeypatch.setattr(pipeline, "_forkserver_claimed", False)
+    monkeypatch.setattr(fs._forkserver, "_forkserver_pid", 12345,
+                        raising=False)
+    assert pipeline._worker_context().get_start_method() == "spawn"
+
+    monkeypatch.setattr(pipeline, "_forkserver_claimed", True)
+    assert pipeline._worker_context().get_start_method() == "forkserver"
