@@ -67,15 +67,27 @@ def train_1time(train_file: str, valid_file: str, valid_lidxs: list,
         if accus and np.mean(accus) >= 0.95:
             break
 
-    # validation pass: per-line prob_1, order-preserving
+    # validation pass: per-line prob_1, order-preserving; prob fetches ride
+    # one batch behind the dispatch (see Trainer.eval_on_batch_async)
     valid_ds = TextFeatureDataset(valid_file)
     idx2prob: dict = {}
     cnt = 0
-    for batch in valid_ds.batches(dcfg.batch_size):
-        _loss, _counts, _preds, probs1, valid = trainer.eval_on_batch(batch)
+
+    def consume(handle):
+        nonlocal cnt
+        _loss, _counts, _preds, probs1, valid = trainer.resolve_eval(handle)
         for p in probs1[:valid]:
             idx2prob[valid_lidxs[cnt]] = float(p)
             cnt += 1
+
+    pending = None
+    for batch in valid_ds.batches(dcfg.batch_size):
+        handle = trainer.eval_on_batch_async(batch)
+        if pending is not None:
+            consume(pending)
+        pending = handle
+    if pending is not None:
+        consume(pending)
     return idx2prob
 
 

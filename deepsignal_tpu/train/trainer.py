@@ -257,12 +257,27 @@ class Trainer:
         identical on every host.  Synchronous convenience wrapper."""
         return self.resolve_metrics(self.train_on_batch_async(batch, lr))
 
-    def eval_on_batch(self, batch):
+    def eval_on_batch_async(self, batch):
+        """Dispatch one eval step with async host copies (see
+        ``train_on_batch_async``); resolve with ``resolve_eval``."""
         batch, mask, valid = self._device_batch(dict(batch))
         loss, counts, preds, probs1 = self._eval_step(
             self.params, self.batch_stats, batch, mask)
+        for out in (loss, counts, preds, probs1):
+            try:
+                out.copy_to_host_async()
+            except Exception:
+                break
+        return loss, counts, preds, probs1, valid
+
+    @staticmethod
+    def resolve_eval(handle):
+        loss, counts, preds, probs1, valid = handle
         return (float(loss), np.asarray(counts), np.asarray(preds)[:valid],
                 np.asarray(probs1)[:valid], valid)
+
+    def eval_on_batch(self, batch):
+        return self.resolve_eval(self.eval_on_batch_async(batch))
 
     @property
     def variables(self):
@@ -474,13 +489,23 @@ def train(train_file: str, valid_file: str, model_dir: str,
 def _validate(trainer: Trainer, valid_ds, tcfg: TrainConfig,
               mcfg: ModelConfig):
     losses, accs, recs, precs = [], [], [], []
-    for batch in valid_ds.batches(tcfg.batch_size):
-        loss, counts, _preds, _probs, _valid = trainer.eval_on_batch(batch)
+
+    def consume(handle):
+        loss, counts, _preds, _probs, _valid = trainer.resolve_eval(handle)
         acc, rec, prec = counts_to_metrics(counts, mcfg.class_num)
         losses.append(loss)
         accs.append(acc)
         recs.append(rec)
         precs.append(prec)
+
+    pending = None  # metric fetch rides behind the next batch's compute
+    for batch in valid_ds.batches(tcfg.batch_size):
+        handle = trainer.eval_on_batch_async(batch)
+        if pending is not None:
+            consume(pending)
+        pending = handle
+    if pending is not None:
+        consume(pending)
     if not losses:
         return 0.0, 0.0, 0.0, 0.0
     return (float(np.mean(losses)), float(np.mean(accs)),
