@@ -263,6 +263,176 @@ static PyObject* format_rows6(PyObject*, PyObject* args) {
   return out;
 }
 
+// str(np.float32 x), byte-identical to numpy 2.x scalar str:
+// - nan (any sign) -> "nan"; +/-inf -> "inf"/"-inf"; +/-0 -> "0.0"/"-0.0"
+// - shortest round-trip digits (dragon4 unique mode == Ryu/std::to_chars:
+//   both emit the correctly-rounded shortest decimal, verified by the
+//   import-time self-check and tests/test_native.py's randomized sweep)
+// - positional form iff 1e-4 <= |x| < 1e16 (compared on the double-exact
+//   value — numpy's own cutoff, probed: float32(1e-4)=9.9999997e-5 prints
+//   scientific, 1.0000001e-4 prints positional), with ".0" appended to
+//   integral values; otherwise the scientific form "d[.ddd]e+-EE"
+//   (to_chars scientific emits the mantissa digits and a 2-digit signed
+//   exponent exactly as numpy does — float32 exponents are always 2-digit).
+static void append_float32_repr(std::vector<char>& buf, float x) {
+  if (std::isnan(x)) {
+    buf.insert(buf.end(), {'n', 'a', 'n'});
+    return;
+  }
+  if (std::isinf(x)) {
+    if (x < 0) buf.push_back('-');
+    buf.insert(buf.end(), {'i', 'n', 'f'});
+    return;
+  }
+  if (x == 0.0f) {
+    if (std::signbit(x)) buf.push_back('-');
+    buf.insert(buf.end(), {'0', '.', '0'});
+    return;
+  }
+  char tmp[48];
+  auto res = std::to_chars(tmp, tmp + sizeof tmp, x,
+                           std::chars_format::scientific);
+  // parse "[-]d[.ddd]e<sign>EE" into digits + decimal exponent
+  const char* p = tmp;
+  bool neg = (*p == '-');
+  if (neg) p++;
+  char digits[16];
+  int m = 0;
+  digits[m++] = *p++;
+  if (*p == '.') {
+    p++;
+    while (*p != 'e') digits[m++] = *p++;
+  }
+  const char* epos = p;  // at 'e'
+  int exp = 0;
+  bool eneg = (p[1] == '-');
+  for (p += 2; p < res.ptr; p++) exp = exp * 10 + (*p - '0');
+  if (eneg) exp = -exp;
+
+  double ax = std::fabs(static_cast<double>(x));
+  if (ax >= 1e-4 && ax < 1e16) {  // positional (numpy's cutoff)
+    if (neg) buf.push_back('-');
+    if (exp + 1 >= m) {  // integral: digits, zero-pad, ".0"
+      buf.insert(buf.end(), digits, digits + m);
+      for (int i = 0; i < exp + 1 - m; i++) buf.push_back('0');
+      buf.push_back('.');
+      buf.push_back('0');
+    } else if (exp >= 0) {  // point inside the digits
+      buf.insert(buf.end(), digits, digits + exp + 1);
+      buf.push_back('.');
+      buf.insert(buf.end(), digits + exp + 1, digits + m);
+    } else {  // leading "0.00..."
+      buf.push_back('0');
+      buf.push_back('.');
+      for (int i = 0; i < -exp - 1; i++) buf.push_back('0');
+      buf.insert(buf.end(), digits, digits + m);
+    }
+  } else {  // scientific: the to_chars output verbatim
+    buf.insert(buf.end(), tmp, res.ptr);
+    (void)epos;
+  }
+}
+
+static PyObject* format_call_block(PyObject*, PyObject* args) {
+  // (sampleinfo: list[str], p0: f32[N], p1: f32[N], pred: i64[N],
+  //  kmers: u8[N, K], lut: 256 bytes) -> bytes
+  // One call_mods output line per site: "info\tp0\tp1\tpred\tkmer\n" with
+  // probs formatted as str(np.float32) — the exact 10-column contract of
+  // call_modifications.py:184-190 (info carries the first 6 columns).
+  PyObject* info_list;
+  PyObject *p0_obj, *p1_obj, *pred_obj, *kmer_obj;
+  const char* lut;
+  Py_ssize_t lut_len;
+  if (!PyArg_ParseTuple(args, "O!OOOOy#", &PyList_Type, &info_list, &p0_obj,
+                        &p1_obj, &pred_obj, &kmer_obj, &lut, &lut_len))
+    return nullptr;
+  if (lut_len != 256) {
+    PyErr_SetString(PyExc_ValueError, "lut must be 256 bytes");
+    return nullptr;
+  }
+  PyArrayObject* p0 = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(p0_obj, NPY_FLOAT32, NPY_ARRAY_IN_ARRAY));
+  PyArrayObject* p1 = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(p1_obj, NPY_FLOAT32, NPY_ARRAY_IN_ARRAY));
+  PyArrayObject* pred = reinterpret_cast<PyArrayObject*>(PyArray_FROM_OTF(
+      pred_obj, NPY_INT64, NPY_ARRAY_IN_ARRAY | NPY_ARRAY_FORCECAST));
+  PyArrayObject* kmer = reinterpret_cast<PyArrayObject*>(PyArray_FROM_OTF(
+      kmer_obj, NPY_UINT8, NPY_ARRAY_IN_ARRAY | NPY_ARRAY_FORCECAST));
+  if (!p0 || !p1 || !pred || !kmer) {
+    Py_XDECREF(p0); Py_XDECREF(p1); Py_XDECREF(pred); Py_XDECREF(kmer);
+    return nullptr;
+  }
+  npy_intp N = PyArray_SIZE(p0);
+  bool shape_ok = PyArray_SIZE(p1) == N && PyArray_SIZE(pred) == N &&
+                  PyArray_NDIM(kmer) == 2 && PyArray_DIM(kmer, 0) == N &&
+                  PyList_GET_SIZE(info_list) == N;
+  if (!shape_ok) {
+    Py_DECREF(p0); Py_DECREF(p1); Py_DECREF(pred); Py_DECREF(kmer);
+    PyErr_SetString(PyExc_ValueError,
+                    "format_call_block: length mismatch across inputs");
+    return nullptr;
+  }
+  npy_intp K = PyArray_DIM(kmer, 1);
+  const float* a0 = static_cast<const float*>(PyArray_DATA(p0));
+  const float* a1 = static_cast<const float*>(PyArray_DATA(p1));
+  const npy_int64* ap = static_cast<const npy_int64*>(PyArray_DATA(pred));
+  const npy_uint8* ak = static_cast<const npy_uint8*>(PyArray_DATA(kmer));
+
+  std::vector<char> buf;
+  buf.reserve(static_cast<size_t>(N) * (96 + K));
+  for (npy_intp i = 0; i < N; i++) {
+    PyObject* s = PyList_GET_ITEM(info_list, i);
+    Py_ssize_t ulen;
+    const char* u = PyUnicode_AsUTF8AndSize(s, &ulen);
+    if (!u) {
+      Py_DECREF(p0); Py_DECREF(p1); Py_DECREF(pred); Py_DECREF(kmer);
+      return nullptr;
+    }
+    buf.insert(buf.end(), u, u + ulen);
+    buf.push_back('\t');
+    append_float32_repr(buf, a0[i]);
+    buf.push_back('\t');
+    append_float32_repr(buf, a1[i]);
+    buf.push_back('\t');
+    char itmp[24];
+    auto ires = std::to_chars(itmp, itmp + sizeof itmp,
+                              static_cast<long long>(ap[i]));
+    buf.insert(buf.end(), itmp, ires.ptr);
+    buf.push_back('\t');
+    const npy_uint8* row = ak + i * K;
+    for (npy_intp j = 0; j < K; j++) buf.push_back(lut[row[j]]);
+    buf.push_back('\n');
+  }
+  Py_DECREF(p0); Py_DECREF(p1); Py_DECREF(pred); Py_DECREF(kmer);
+  return PyBytes_FromStringAndSize(buf.data(),
+                                   static_cast<Py_ssize_t>(buf.size()));
+}
+
+static PyObject* repr_f32(PyObject*, PyObject* args) {
+  // float32[N] -> list[str] of str(np.float32) reprs; exists so the
+  // formatter's core can be self-checked/stress-tested independently of
+  // the full row assembly.
+  PyObject* in_obj;
+  if (!PyArg_ParseTuple(args, "O", &in_obj)) return nullptr;
+  PyArrayObject* in = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(in_obj, NPY_FLOAT32, NPY_ARRAY_IN_ARRAY));
+  if (!in) return nullptr;
+  npy_intp n = PyArray_SIZE(in);
+  const float* x = static_cast<const float*>(PyArray_DATA(in));
+  PyObject* out = PyList_New(n);
+  if (!out) { Py_DECREF(in); return nullptr; }
+  std::vector<char> buf;
+  for (npy_intp i = 0; i < n; i++) {
+    buf.clear();
+    append_float32_repr(buf, x[i]);
+    PyObject* s = PyUnicode_FromStringAndSize(buf.data(), buf.size());
+    if (!s) { Py_DECREF(in); Py_DECREF(out); return nullptr; }
+    PyList_SET_ITEM(out, i, s);
+  }
+  Py_DECREF(in);
+  return out;
+}
+
 static PyMethodDef kMethods[] = {
     {"normalize_mad", normalize_mad, METH_VARARGS,
      "MAD-normalize a rescaled float64 signal, rounded to 6 decimals "
@@ -273,6 +443,12 @@ static PyMethodDef kMethods[] = {
     {"format_rows6", format_rows6, METH_VARARGS,
      "Comma-join str() reprs of each row of a [S, K] float64 matrix of "
      "6-decimal-rounded values (byte-identical to Python str)."},
+    {"format_call_block", format_call_block, METH_VARARGS,
+     "Assemble call_mods output lines (info\\tp0\\tp1\\tpred\\tkmer\\n) "
+     "into one bytes block; probs formatted as str(np.float32)."},
+    {"repr_f32", repr_f32, METH_VARARGS,
+     "str(np.float32) repr of each element of a float32 array "
+     "(byte-identical to numpy scalar str)."},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef kModule = {

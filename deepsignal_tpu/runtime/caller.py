@@ -18,8 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import ModelConfig
-from ..core.constants import CODE2BASE_DNA, CODE2BASE_RNA
-from ..io.calls_codec import format_call_row
+from ..io.calls_codec import (decode_kmer_strings, format_call_block,
+                              format_call_row)
 from ..io.feature_codec import FeatureBatch
 from ..models.deepsignal import DeepSignalNet, predictions
 from ..parallel.mesh import batch_sharding, replicated
@@ -162,15 +162,15 @@ class ModCaller:
         """
         return self.collect(self.dispatch_feature_batch(fb), is_dna=is_dna)
 
-    def collect(self, handle, is_dna: bool = True):
-        """Block on a ``dispatch_feature_batch`` handle and format rows."""
+    def _resolve(self, handle):
+        """Block on a ``dispatch_feature_batch`` handle; returns
+        (fb, pred[n] int64, p0[n] f32, p1[n] f32) with the reference's
+        host-side float32 renormalization (call_modifications.py:185-187)."""
         fb, pending = handle
         n = len(fb)
         all_pred = np.empty(n, dtype=np.int64)
         all_p0 = np.empty(n, dtype=np.float32)
         all_p1 = np.empty(n, dtype=np.float32)
-        kmer_strs = decode_kmer_strings(fb.kmers, is_dna)
-        rows: list = []
         for i, j, (act, pred) in pending:
             valid = j - i
             act = np.asarray(act)[:valid]  # float32 [valid, 2] sigmoid
@@ -178,31 +178,26 @@ class ModCaller:
             all_p0[i:j] = act[:, 0] / total
             all_p1[i:j] = act[:, 1] / total
             all_pred[i:j] = np.asarray(pred)[:valid]
-            for idx in range(i, j):
-                rows.append(format_call_row(fb.sampleinfo[idx],
-                                            all_p0[idx], all_p1[idx],
-                                            int(all_pred[idx]),
-                                            kmer_strs[idx]))
+        return fb, all_pred, all_p0, all_p1
+
+    def collect(self, handle, is_dna: bool = True):
+        """Block on a ``dispatch_feature_batch`` handle and format rows."""
+        fb, all_pred, all_p0, all_p1 = self._resolve(handle)
+        kmer_strs = decode_kmer_strings(fb.kmers, is_dna)
+        rows = [format_call_row(fb.sampleinfo[idx], all_p0[idx], all_p1[idx],
+                                int(all_pred[idx]), kmer_strs[idx])
+                for idx in range(len(fb))]
         return rows, all_pred, (all_p0, all_p1)
 
-
-def _make_kmer_lut(code2base: dict) -> np.ndarray:
-    lut = np.zeros(max(code2base) + 1, dtype=np.uint8)
-    for code, base in code2base.items():
-        lut[code] = ord(base)
-    return lut
-
-
-_KMER_LUT_DNA = _make_kmer_lut(CODE2BASE_DNA)
-_KMER_LUT_RNA = _make_kmer_lut(CODE2BASE_RNA)
-
-
-def decode_kmer_strings(kmers: np.ndarray, is_dna: bool = True) -> list:
-    """Vectorized [N, K] code matrix -> list of K-char kmer strings."""
-    n, k = kmers.shape
-    lut = _KMER_LUT_DNA if is_dna else _KMER_LUT_RNA
-    flat = lut[kmers.astype(np.intp)].tobytes()
-    return [flat[i * k:(i + 1) * k].decode("ascii") for i in range(n)]
+    def collect_block(self, handle, is_dna: bool = True):
+        """Like ``collect`` but returns the formatted rows as ONE bytes
+        block (newline-terminated), byte-identical to joining the
+        ``collect`` rows.  The drain path uses this: one native formatter
+        call per batch instead of a Python loop per site (VERDICT r4 #2)."""
+        fb, all_pred, all_p0, all_p1 = self._resolve(handle)
+        block = format_call_block(fb.sampleinfo, all_p0, all_p1, all_pred,
+                                  fb.kmers, is_dna)
+        return block, all_pred, (all_p0, all_p1)
 
 
 def coalesce_feature_batches(batches: Iterable[FeatureBatch],
@@ -299,6 +294,14 @@ def run_call_mods(input_path: str, model_path: str, result_file: str,
     # shard (no lockstep batch-count requirement between hosts, no
     # make_array_from_process_local_data on the hot path).  Training is the
     # opposite: a global mesh with psum'd gradients (train/trainer.py).
+    # announce the active compute dtype: the shipped default is bfloat16
+    # (gated, docs/PERF.md) and its probabilities differ from the f32
+    # reference path by ~1e-4 — parity-sensitive users need to see which
+    # path scored this run (pass --compute_dtype float32 for bit-parity)
+    print("compute dtype: %s%s" % (
+        cfg.compute_dtype,
+        "" if cfg.compute_dtype == "float32"
+        else "  (pass --compute_dtype float32 for reference-parity probs)"))
     mesh = make_mesh(local=True) if use_mesh else None
     caller = ModCaller(cfg, variables, batch_size=batch_size, mesh=mesh)
 
@@ -357,18 +360,19 @@ def call_mods_on_batches(caller: ModCaller,
     # appearance — the meter is a throughput diagnostic, and the scored
     # output itself is unaffected either way.
     prev_reads: set = set()
-    with open(out_path, "w") as wf:
+    with open(out_path, "wb") as wf:
         def drain_one():
             nonlocal count, prev_reads
             handle = in_flight.popleft()
             fb = handle[0]
-            rows, _, _ = caller.collect(handle, is_dna=is_dna)
-            for r in rows:
-                wf.write(r + "\n")
-            count += len(rows)
+            # one native formatter call per batch (byte-identical to the
+            # per-row ``collect`` path, tests/test_caller.py)
+            block, _, _ = caller.collect_block(handle, is_dna=is_dna)
+            wf.write(block)
+            count += len(fb)
             if meter is not None and fb.sampleinfo:
                 cur = {s.split("\t", 5)[4] for s in fb.sampleinfo}
-                meter.update(sites=len(rows),
+                meter.update(sites=len(fb),
                              reads=len(cur - prev_reads))
                 prev_reads = cur
             wf.flush()

@@ -156,3 +156,72 @@ def test_format_rows6_byte_identical():
     a = a[:len(a) - len(a) % 3].reshape(-1, 3)
     assert nk.format_rows6(a) == [",".join(str(v) for v in row)
                                   for row in a]
+
+
+# ---------------------------------------------------------------------------
+# _featkernel: native call-row formatter (VERDICT r4 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_repr_f32_byte_identical_random_bits():
+    """str(np.float32) repr across random bit patterns (covers subnormals,
+    nan payloads, infinities, both formatting regimes and their 1e-4/1e16
+    boundary) — any digit or layout divergence from numpy's dragon4 fails."""
+    rng = np.random.default_rng(2024)
+    bits = rng.integers(0, 2**32, 200_000, dtype=np.uint64).astype(np.uint32)
+    vals = bits.view(np.float32)
+    assert featkernel.repr_f32(vals) == [str(v) for v in vals]
+
+
+def test_repr_f32_boundaries():
+    vals = np.array([0.0, -0.0, 1e-4, 9.9999e-5, 1.0000001e-4, 1e16,
+                     9.999999e15, 1e-45, -1.17549435e-38, 3.4e38,
+                     np.inf, -np.inf, np.nan, 0.5, 2 / 3], dtype=np.float32)
+    assert featkernel.repr_f32(vals) == [str(v) for v in vals]
+
+
+def test_format_call_block_matches_python(rng):
+    from deepsignal_tpu.io import calls_codec
+    n, k = 500, 17
+    info = [f"chr1\t{i}\t+\t{i}\tread{i // 50}\tt" for i in range(n)]
+    p1 = rng.random(n).astype(np.float32)
+    p1[:8] = np.array([0.0, 1.0, 1e-7, 0.9999999, 0.5, 1e-38,
+                       np.nan, 0.25], dtype=np.float32)
+    p0 = np.float32(1.0) - p1
+    pred = (p1 > 0.5).astype(np.int64)
+    kmers = rng.integers(0, 5, (n, k)).astype(np.int32)
+    for is_dna in (True, False):
+        native = calls_codec.format_call_block(info, p0, p1, pred, kmers,
+                                               is_dna)
+        python = calls_codec._format_call_block_py(info, p0, p1, pred, kmers,
+                                                   is_dna)
+        assert native == python
+
+
+def test_collect_block_equals_collect_rows(rng):
+    """The drain path's bytes block must be byte-identical to joining the
+    per-row ``collect`` output on the same handle."""
+    from deepsignal_tpu.core.config import ModelConfig
+    from deepsignal_tpu.io.feature_codec import FeatureBatch
+    from deepsignal_tpu.models.deepsignal import init_model
+    from deepsignal_tpu.runtime.caller import ModCaller
+
+    cfg = ModelConfig(lstm_hidden=16, inception_times=1,
+                      inception_blocks=(1, 0, 0))
+    _, variables = init_model(cfg, batch_size=4)
+    n = 37
+    fb = FeatureBatch(
+        sampleinfo=[f"chr1\t{i}\t+\t{i}\tread{i // 9}\tt" for i in range(n)],
+        kmers=rng.integers(0, 4, (n, 17)).astype(np.int32),
+        means=rng.normal(0, 1, (n, 17)).astype(np.float32),
+        stds=np.abs(rng.normal(0, 1, (n, 17))).astype(np.float32),
+        lens=rng.integers(1, 40, (n, 17)).astype(np.int64),
+        signals=rng.normal(0, 1, (n, 360)).astype(np.float32),
+        labels=np.ones(n, dtype=np.int32))
+    caller = ModCaller(cfg, variables, batch_size=16)
+    handle = caller.dispatch_feature_batch(fb)
+    rows, pred_r, (p0_r, p1_r) = caller.collect(handle)
+    block, pred_b, (p0_b, p1_b) = caller.collect_block(handle)
+    assert block == "".join(r + "\n" for r in rows).encode()
+    np.testing.assert_array_equal(pred_r, pred_b)
+    np.testing.assert_array_equal(p0_r, p0_b)
