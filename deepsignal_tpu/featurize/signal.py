@@ -71,9 +71,12 @@ def _native_selfcheck() -> bool:
 if _native is not None:
     try:
         if not _native_selfcheck():  # pragma: no cover - host-dependent
+            import sys as _sys
+            # stderr (not stdout): this fires at import time in every
+            # worker, and stdout may be machine-parsed CLI output
             print("warning: native featurize kernels disagree with numpy on "
                   "this host (different pairwise-summation order?); falling "
-                  "back to the numpy path")
+                  "back to the numpy path", file=_sys.stderr)
             _native = None
     except Exception:  # pragma: no cover - defensive
         _native = None
@@ -120,7 +123,14 @@ def normalize_signals(signals: np.ndarray,
 
 
 def _fast_median(x: np.ndarray) -> float:
-    """np.median, bit-exact, via one single-kth SIMD partition."""
+    """np.median, bit-exact, via one single-kth SIMD partition.
+
+    NaN inputs defer to np.median so NaN propagates (np.partition sorts
+    NaNs to the end, which would otherwise yield a finite wrong median);
+    unreachable from the featurize path (signals are a linear rescale of
+    integer DAC values) but guarded for direct callers."""
+    if np.isnan(np.max(x, initial=-np.inf)):  # max propagates NaN; O(n) scan
+        return float(np.median(x))
     n = x.shape[0]
     k = (n - 1) // 2
     part = np.partition(x, k)

@@ -42,6 +42,10 @@ QUEUE_MAX_BATCHES = 100  # backpressure bound (vs reference's qsize polling)
 
 
 _forkserver_claimed = False
+# serializes the claim/probe below: two threads creating pipelines
+# concurrently must not both probe-and-claim the process-wide forkserver
+# (one could skip the spawn fallback it should have taken)
+_forkserver_lock = threading.Lock()
 
 
 def _worker_context():
@@ -67,16 +71,17 @@ def _worker_context():
         ctx = mp.get_context("forkserver")
     except ValueError:  # pragma: no cover - platform-dependent
         return mp.get_context("spawn")
-    if not _forkserver_claimed:
-        try:
-            from multiprocessing import forkserver as _fs
-            foreign = getattr(_fs._forkserver, "_forkserver_pid",
-                              None) is not None
-        except Exception:  # pragma: no cover - stdlib-internal probe
-            foreign = True
-        if foreign:
-            return mp.get_context("spawn")
-        _forkserver_claimed = True
+    with _forkserver_lock:
+        if not _forkserver_claimed:
+            try:
+                from multiprocessing import forkserver as _fs
+                foreign = getattr(_fs._forkserver, "_forkserver_pid",
+                                  None) is not None
+            except Exception:  # pragma: no cover - stdlib-internal probe
+                foreign = True
+            if foreign:
+                return mp.get_context("spawn")
+            _forkserver_claimed = True
     ctx.set_forkserver_preload(["deepsignal_tpu.featurize.extractor",
                                 "deepsignal_tpu.io.fast5",
                                 "deepsignal_tpu.io.feature_codec"])

@@ -26,7 +26,7 @@ from ..core.config import DenoiseConfig, ModelConfig, TrainConfig
 from ..tools.dataset import (concat_two_files, count_line_num,
                              random_select_file_rows_s,
                              select_negsamples_asposkmer)
-from .data import TextFeatureDataset
+from .data import TextFeatureDataset, prefetch_batches
 from .trainer import Trainer
 
 
@@ -50,8 +50,8 @@ def train_1time(train_file: str, valid_file: str, valid_lidxs: list,
         accus = []
         iter_id = 0
         start = time.time()
-        for batch in train_ds.batches(tcfg.batch_size,
-                                      shuffle_rng=shuffle_rng):
+        for batch in prefetch_batches(
+                train_ds.batches(tcfg.batch_size, shuffle_rng=shuffle_rng)):
             labels = np.asarray(batch["labels"])
             loss, _counts, preds, valid = trainer.train_on_batch(batch, lr)
             iter_id += 1
@@ -81,7 +81,7 @@ def train_1time(train_file: str, valid_file: str, valid_lidxs: list,
             cnt += 1
 
     pending = None
-    for batch in valid_ds.batches(dcfg.batch_size):
+    for batch in prefetch_batches(valid_ds.batches(dcfg.batch_size)):
         handle = trainer.eval_on_batch_async(batch)
         if pending is not None:
             consume(pending)

@@ -37,7 +37,7 @@ from ..parallel.mesh import (batch_sharding, mesh_is_multiprocess,
                              replicated)
 from .checkpoints import (ckpt_name, clean_model_dir, clear_train_state,
                           load_train_state, save_checkpoint, save_train_state)
-from .data import open_dataset
+from .data import open_dataset, prefetch_batches
 from .metrics import counts_to_metrics
 
 TRAIN_LOG = "train.txt"
@@ -382,7 +382,13 @@ def train(train_file: str, valid_file: str, model_dir: str,
         # only shifts WHEN validation runs, not what is logged.
         pending = None  # (iter_id of the dispatched step, metrics handle)
 
-        def consume(iid, handle):
+        def consume(iid, handle, params_iter):
+            # ``params_iter``: how many optimizer steps trainer.variables
+            # reflect at this moment — one MORE than ``iid`` when consuming
+            # one step behind dispatch, equal on the epoch-final drain.
+            # Recorded in checkpoint meta so resumed/compared runs are not
+            # silently off by one step (the validated/saved params are the
+            # ``params_iter``-step params; ``iid`` is the metric attribution).
             nonlocal tr_loss, tr_acc, tr_rec, tr_prec
             nonlocal test_accu_best_ep, sweeps_run, best_path, start
             loss, counts, _preds, _valid = trainer.resolve_metrics(handle)
@@ -421,6 +427,7 @@ def train(train_file: str, valid_file: str, model_dir: str,
                                             trainer.variables,
                                             meta={"epoch": epoch_id,
                                                   "iter": iid,
+                                                  "params_iter": params_iter,
                                                   "valid_accuracy": va_acc})
                 end = time.time()
                 sys.stdout.write(
@@ -434,15 +441,17 @@ def train(train_file: str, valid_file: str, model_dir: str,
                 tr_loss, tr_acc, tr_rec, tr_prec = [], [], [], []
                 start = time.time()
 
-        for batch in train_ds.batches(tcfg.batch_size,
-                                      shuffle_rng=shuffle_rng):
+        # one-batch-ahead background gather: the memmap index + pack work
+        # overlaps the dispatched step instead of serializing with it
+        for batch in prefetch_batches(
+                train_ds.batches(tcfg.batch_size, shuffle_rng=shuffle_rng)):
             handle = trainer.train_on_batch_async(batch, lr)
             iter_id += 1
             if pending is not None:
-                consume(*pending)
+                consume(*pending, params_iter=iter_id)
             pending = (iter_id, handle)
         if pending is not None:
-            consume(*pending)
+            consume(*pending, params_iter=pending[0])
 
         # The reference's improvement check uses only display-step sweeps
         # (train_model.py:270-284) — an epoch with < display_step iterations
@@ -499,7 +508,7 @@ def _validate(trainer: Trainer, valid_ds, tcfg: TrainConfig,
         precs.append(prec)
 
     pending = None  # metric fetch rides behind the next batch's compute
-    for batch in valid_ds.batches(tcfg.batch_size):
+    for batch in prefetch_batches(valid_ds.batches(tcfg.batch_size)):
         handle = trainer.eval_on_batch_async(batch)
         if pending is not None:
             consume(pending)

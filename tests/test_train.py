@@ -170,3 +170,27 @@ def test_train_binary_input(tmp_path, rng):
     summary = train(str(binp), str(binp), str(tmp_path / "m"), None, mcfg,
                     tcfg, is_binary=True)
     assert summary["epochs_run"] == 1
+
+
+def test_prefetch_batches_order_and_exceptions():
+    """Background prefetch must preserve order, yield every item, and
+    re-raise producer exceptions at the consumer."""
+    from deepsignal_tpu.train.data import prefetch_batches
+
+    assert list(prefetch_batches(iter(range(100)), depth=3)) == \
+        list(range(100))
+    assert list(prefetch_batches(iter([]))) == []
+
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("producer failed")
+
+    got = []
+    try:
+        for x in prefetch_batches(boom()):
+            got.append(x)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "producer failed" in str(e)
+    assert got == [1, 2]
