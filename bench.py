@@ -49,8 +49,12 @@ READ_LEN = 6000
 # Fixed per-tag corpus seeds: cold/warm score DISTINCT corpora (so warm can
 # never be flattered by data caching) but each tag's corpus is identical
 # run-to-run — ``hash(tag)`` was salted per process (PYTHONHASHSEED) and made
-# consecutive bench runs incomparable.
-TAG_SEEDS = {"cold": 1001, "warm": 2002}
+# consecutive bench runs incomparable.  The warm run repeats WARM_REPEATS
+# times on distinct fixed corpora so run-to-run variance lands in the
+# artifact (min/median/max) instead of the prose (VERDICT r4 #1a).
+TAG_SEEDS = {"cold": 1001, "warm": 2002, "warm2": 2003, "warm3": 2004,
+             "hostceil": 3005, "filemode": 4006}
+WARM_REPEATS = 3
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "bench_baseline.json")
 
@@ -505,14 +509,163 @@ def measure_e2e(compute_dtype=None, n_reads=None) -> dict:
             return caller, n_calls, dt, steady
 
         caller, n_calls, dt_cold, _ = one_run("cold")
-        _, n_calls_w, dt_warm, steady = one_run("warm", caller)
+        # >=3 warm repeats on distinct fixed corpora: the 2-core bench host
+        # shows ~1.5x run-to-run spread (featurize workers, main process and
+        # the tunnel all contend), so min/median/max go in the artifact
+        warm_rates, warm_walls, steadies = [], [], []
+        n_calls_w = 0
+        for rep in range(1 if tiny else WARM_REPEATS):
+            tag = "warm" if rep == 0 else f"warm{rep + 1}"
+            _, n_calls_w, dt_warm, steady = one_run(tag, caller)
+            warm_rates.append(n_reads / dt_warm)
+            warm_walls.append(dt_warm)
+            steadies.append(steady)
+        med = sorted(warm_rates)[len(warm_rates) // 2]
         return {"reads_per_s_cold": round(n_reads / dt_cold, 2),
-                "reads_per_s_warm": round(n_reads / dt_warm, 2),
-                "sites_per_s_warm": round(n_calls_w / dt_warm),
-                "steady_state_sites_per_s": round(steady),
+                "reads_per_s_warm": round(med, 2),  # median of repeats
+                "warm_repeats": {
+                    "n": len(warm_rates),
+                    "min": round(min(warm_rates), 2),
+                    "median": round(med, 2),
+                    "max": round(max(warm_rates), 2)},
+                "sites_per_s_warm": round(
+                    n_calls_w / sorted(warm_walls)[len(warm_walls) // 2]),
+                "steady_state_sites_per_s": round(
+                    sorted(steadies)[len(steadies) // 2]),
                 "wall_s_cold": round(dt_cold, 2),
-                "wall_s_warm": round(dt_warm, 2),
+                "wall_s_warm": round(sorted(warm_walls)[len(warm_walls)
+                                                        // 2], 2),
                 "reads": n_reads, "sites": n_calls_w}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+class _NoopDeviceCaller:
+    """ModCaller stand-in whose device step is a host no-op: dispatch pads
+    exactly like production but fabricates the (act, pred) outputs on the
+    host, so an e2e run through it measures the FEATURIZE + DRAIN + WRITE
+    ceiling of this host with the chip removed (VERDICT r4 #1b).  Collect
+    and formatting reuse the production ModCaller code paths."""
+
+    def __init__(self, batch_size: int = 4096):
+        self.batch_size = batch_size
+
+    def dispatch_feature_batch(self, fb):
+        from deepsignal_tpu.runtime.caller import _pad
+        n = len(fb)
+        bs = self.batch_size
+        pending = []
+        for i in range(0, n, bs):
+            j = min(i + bs, n)
+            # mirror the production host work minus the device: pad + pack
+            for arr in (fb.kmers[i:j], fb.means[i:j], fb.stds[i:j],
+                        fb.lens[i:j].astype(np.float32), fb.signals[i:j]):
+                _pad(arr, bs)
+            act = np.full((bs, 2), 0.5, np.float32)
+            act[:, 1] += 1e-3
+            pending.append((i, j, (act, np.ones(bs, np.int64))))
+        return fb, pending
+
+    from deepsignal_tpu.runtime.caller import ModCaller as _MC
+    _resolve = _MC._resolve
+    collect = _MC.collect
+    collect_block = _MC.collect_block
+    del _MC
+
+
+def measure_e2e_host_ceiling(n_reads=None) -> dict:
+    """fast5 dir -> streaming featurize -> NO-OP device step -> TSV.
+
+    Separating measurement: with the device step free, the wall clock is
+    the host's own ceiling (featurize workers + batching + drain
+    formatting + write).  Comparing against the real e2e run tells whether
+    the binding resource is host CPU or the device+wire path."""
+    from deepsignal_tpu.core.config import FeatureConfig
+    from deepsignal_tpu.runtime.caller import call_mods_on_batches
+    from deepsignal_tpu.runtime.pipeline import stream_fast5_feature_batches
+
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    if n_reads is None:
+        n_reads = 6 if tiny else N_READS_E2E
+    tmp = tempfile.mkdtemp(prefix="bench_hostceil_")
+    try:
+        f5dir = os.path.join(tmp, "f5")
+        os.makedirs(f5dir)
+        n_sites = _write_synthetic_reads(f5dir, n_reads=n_reads,
+                                         seed=TAG_SEEDS["hostceil"])
+        out_tsv = os.path.join(tmp, "calls.tsv")
+        caller = _NoopDeviceCaller(batch_size=4096)
+        t0 = time.perf_counter()
+        metered = _MeteredBatches(stream_fast5_feature_batches(
+            f5dir, FeatureConfig(), nproc=3, f5_batch_num=25))
+        n_calls = call_mods_on_batches(caller, metered, out_tsv)
+        t_end = time.perf_counter()
+        dt = t_end - t0
+        assert n_calls >= 0.9 * n_sites, (n_calls, n_sites)
+        steady = ((metered.sites - metered.sites_first)
+                  / max(t_end - metered.t_first, 1e-9)
+                  if metered.t_first is not None else 0.0)
+        return {"reads_per_s": round(n_reads / dt, 2),
+                "sites_per_s": round(n_calls / dt),
+                "steady_state_sites_per_s": round(steady),
+                "wall_s": round(dt, 2), "reads": n_reads}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def measure_e2e_file_mode(compute_dtype="bfloat16", n_reads=None) -> dict:
+    """Pre-extracted feature TSV -> jit call -> calls TSV (file-input mode,
+    call_modifications.py:450-491 analogue).
+
+    Separating measurement: featurization is prepaid, so the run isolates
+    the DEVICE + WIRE + DRAIN path (reader process + h2d + compute + d2h +
+    formatting).  Together with the host-ceiling row it brackets where the
+    real e2e pipeline binds."""
+    from deepsignal_tpu.core.config import FeatureConfig, ModelConfig
+    from deepsignal_tpu.models.deepsignal import init_model
+    from deepsignal_tpu.runtime.caller import ModCaller, call_mods_on_batches
+    from deepsignal_tpu.runtime.pipeline import (run_extract,
+                                                 stream_file_feature_batches)
+    from deepsignal_tpu.train.checkpoints import save_checkpoint, \
+        load_checkpoint
+
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    if n_reads is None:
+        n_reads = 6 if tiny else N_READS_E2E
+    cfg = (ModelConfig(lstm_hidden=128, inception_times=2,
+                       inception_blocks=(1, 1, 1)) if tiny else ModelConfig())
+    if compute_dtype == "bfloat16":
+        cfg = ModelConfig(**{**cfg.__dict__, "compute_dtype": "bfloat16",
+                             "matmul_precision": "default"})
+    tmp = tempfile.mkdtemp(prefix="bench_filemode_")
+    try:
+        f5dir = os.path.join(tmp, "f5")
+        os.makedirs(f5dir)
+        _write_synthetic_reads(f5dir, n_reads=n_reads,
+                               seed=TAG_SEEDS["filemode"])
+        feats = os.path.join(tmp, "features.tsv")
+        run_extract(f5dir, feats, FeatureConfig(), nproc=3, f5_batch_num=25)
+        n_rows = sum(1 for _ in open(feats))
+
+        model, variables = init_model(cfg, batch_size=8)
+        ckpt = os.path.join(tmp, "model.ckpt")
+        save_checkpoint(ckpt, cfg, variables)
+        ld_cfg, ld_vars = load_checkpoint(ckpt)
+        caller = ModCaller(ld_cfg, ld_vars, batch_size=4096)
+        out_tsv = os.path.join(tmp, "calls.tsv")
+        # warm the compile so the timed region is the steady pipeline
+        caller.collect_block(caller.dispatch_feature_batch(
+            next(iter(stream_file_feature_batches(feats, 50,
+                                                  background=False)))))
+        t0 = time.perf_counter()
+        n_calls = call_mods_on_batches(
+            caller, stream_file_feature_batches(feats, 50), out_tsv)
+        dt = time.perf_counter() - t0
+        assert n_calls == n_rows, (n_calls, n_rows)
+        return {"sites_per_s": round(n_calls / dt),
+                "reads_per_s": round(n_reads / dt, 2),
+                "wall_s": round(dt, 2), "sites": n_calls,
+                "compute_dtype": compute_dtype}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -669,6 +822,84 @@ def measure_extract(n_reads=128, nproc=3) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _write_feature_tsv(path: str, n_rows: int, seed: int = 5,
+                       k: int = 17, s: int = 360) -> None:
+    """Synthetic 12-column feature TSV (labels half 1 / half 0)."""
+    rng = np.random.default_rng(seed)
+    bases = np.array(list("ACGT"))
+    zeros = ",".join(["0.0"] * s)
+    with open(path, "w") as wf:
+        for i in range(n_rows):
+            kmer = "".join(bases[rng.integers(0, 4, k)])
+            means = ",".join(str(x) for x in
+                             np.around(rng.normal(0, 1, k), 6))
+            stds = ",".join(str(x) for x in
+                            np.around(np.abs(rng.normal(0, 1, k)), 6))
+            lens = ",".join(str(int(x)) for x in rng.integers(1, 40, k))
+            wf.write("\t".join(
+                ["chr1", str(i), "+", str(i), f"read{i // 64}", "t", kmer,
+                 means, stds, lens, zeros, str(i % 2)]) + "\n")
+
+
+def measure_denoise(n_rows=6144) -> dict:
+    """Denoise-loop bench — the one reference workload with no measured
+    number (denoise.py:305-345).
+
+    Protocol: RNN-only model (the reference's denoise default,
+    deepsignal.py:400-418), synthetic corpus, epoch_num=1.  Two directly
+    timed ``train_1time`` calls separate the Trainer-rebuild cost from the
+    steady step rate: the denoise loop builds a FRESH Trainer (fresh jit)
+    per call, so the first call pays the full compile and the second hits
+    the in-process XLA compile cache — their difference is the re-jit
+    overhead each denoise round amortizes.  Then one full ``denoise``
+    iteration (rounds=2 -> 4 Trainer rebuilds + clean/select/concat) is
+    timed end-to-end with the cache already warm."""
+    from deepsignal_tpu.core.config import DenoiseConfig, ModelConfig
+    from deepsignal_tpu.tools.dataset import random_select_file_rows_s
+    from deepsignal_tpu.train.denoise import denoise, train_1time
+
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    if tiny:
+        n_rows = 256
+    tmp = tempfile.mkdtemp(prefix="bench_denoise_")
+    try:
+        train_file = os.path.join(tmp, "train.tsv")
+        _write_feature_tsv(train_file, n_rows)
+        dcfg = DenoiseConfig(iterations=1, rounds=2, epoch_num=1,
+                             step_interval=4)
+        mcfg = ModelConfig(is_cnn=dcfg.is_cnn, is_rnn=dcfg.is_rnn,
+                           is_base=dcfg.is_base, pos_weight=dcfg.pos_weight)
+        if tiny:
+            mcfg = ModelConfig(**{**mcfg.__dict__, "lstm_hidden": 16})
+
+        f1 = os.path.join(tmp, "half1.tsv")
+        f2 = os.path.join(tmp, "half2.tsv")
+        lidxs1, lidxs2 = random_select_file_rows_s(train_file, f1, f2,
+                                                   n_rows // 2, False)
+        t0 = time.perf_counter()
+        train_1time(f1, f2, lidxs2, mcfg, dcfg, seed=0)  # fresh jit
+        t_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        train_1time(f2, f1, lidxs1, mcfg, dcfg, seed=1)  # compile cached
+        t_warm = time.perf_counter() - t0
+        # one train epoch + one scoring pass over half the corpus each
+        n_steps = 2 * max(1, -(-(n_rows // 2) // dcfg.batch_size))
+
+        t0 = time.perf_counter()
+        out = denoise(train_file, model_cfg=mcfg, dcfg=dcfg, seed=2)
+        t_iter = time.perf_counter() - t0
+        assert os.path.exists(out)
+        return {"rows": n_rows, "batch": dcfg.batch_size,
+                "train_1time_cold_s": round(t_cold, 2),
+                "train_1time_warm_s": round(t_warm, 2),
+                "trainer_rebuild_overhead_s": round(t_cold - t_warm, 2),
+                "ms_per_step_warm": round(t_warm / n_steps * 1e3, 1),
+                "iteration_wall_s": round(t_iter, 2),
+                "rounds_per_iteration": dcfg.rounds}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def measure_torch_cpu_sites_per_s(max_seconds: float = 240.0) -> float:
     import torch
 
@@ -792,10 +1023,17 @@ def main() -> int:
         cfg16, batch=train_batch_tuned, flops_per_site=train_flops)
 
     # e2e on the SHIPPED default path (bfloat16, runtime/caller.py
-    # DEFAULT_COMPUTE_DTYPE) — this is the headline — plus the f32
-    # reference-parity mode as a secondary row
+    # DEFAULT_COMPUTE_DTYPE) — this is the headline (median of >=3 warm
+    # repeats) — plus the f32 reference-parity mode as a secondary row
     extras["e2e"] = measure_e2e(compute_dtype="bfloat16")
     extras["e2e_f32"] = measure_e2e()
+    # separating measurements (VERDICT r4 #1b): host ceiling (no-op device
+    # step) vs device+wire ceiling (pre-extracted TSV input) bracket the
+    # real e2e rate and name the binding resource on this host
+    extras["e2e_host_ceiling"] = measure_e2e_host_ceiling()
+    extras["e2e_file_mode"] = measure_e2e_file_mode()
+    # the denoise loop (the one reference workload previously unmeasured)
+    extras["denoise"] = measure_denoise()
 
     # chip-feeding requirement: featurize workers needed to saturate one chip
     feat1 = extras["featurize"].get("sites_per_s_1proc", 0)
