@@ -822,6 +822,72 @@ def measure_extract(n_reads=128, nproc=3) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _write_binary_features(path: str, n_rows: int, seed: int = 9,
+                           k: int = 17, s: int = 360) -> None:
+    """Synthetic binary feature records (tf_utils.py:7-28 layout)."""
+    from deepsignal_tpu.io.feature_codec import binary_record_dtype
+    rng = np.random.default_rng(seed)
+    rec = np.zeros(n_rows, dtype=binary_record_dtype(k, s))
+    rec["bases"] = rng.integers(0, 4, (n_rows, k))
+    rec["means"] = rng.normal(0, 1, (n_rows, k)).astype(np.float32)
+    rec["stds"] = np.abs(rng.normal(0, 1, (n_rows, k))).astype(np.float32)
+    rec["lens"] = rng.integers(1, 40, (n_rows, k))
+    rec["signals"] = rng.normal(0, 1, (n_rows, s)).astype(np.float32)
+    rec["label"] = rng.integers(0, 2, n_rows)
+    rec.tofile(path)
+
+
+def measure_train_e2e(batch=TRAIN_BATCH_TPU, steps=16) -> dict:
+    """PRODUCTION train() driver rate at the TPU-tuned bf16 config — the
+    end-to-end counterpart of the serial-chained ``train_bf16_tuned`` row
+    (binary dataset -> background batch prefetch -> jitted step -> deferred
+    metric consumption -> epoch-final validation + state save).
+
+    Protocol: one warm-up epoch on a small file compiles the step, then the
+    timed epoch runs ``steps`` optimizer steps with the SAME Trainer; the
+    reported ms/step includes everything the driver does per step (gather
+    via prefetch, dispatch, metric drain) plus the amortized one
+    validation sweep + checkpoint of the epoch.  Target: ms/step_e2e ~=
+    the pure chained step (VERDICT r4 #5 done-criterion)."""
+    import dataclasses
+
+    from deepsignal_tpu.core.config import ModelConfig, TrainConfig
+    from deepsignal_tpu.train.trainer import Trainer, train
+
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    if tiny:
+        batch, steps = 64, 2
+    mcfg = ModelConfig(compute_dtype="bfloat16", matmul_precision="default",
+                       **(dict(lstm_hidden=128, inception_times=2,
+                               inception_blocks=(1, 1, 1)) if tiny else {}))
+    tcfg = TrainConfig(batch_size=batch, max_epoch_num=1, min_epoch_num=1,
+                       display_step=10**9, seed=0)
+    tmp = tempfile.mkdtemp(prefix="bench_traine2e_")
+    try:
+        train_bin = os.path.join(tmp, "train.bin")
+        valid_bin = os.path.join(tmp, "valid.bin")
+        warm_bin = os.path.join(tmp, "warm.bin")
+        _write_binary_features(train_bin, batch * steps)
+        _write_binary_features(valid_bin, batch, seed=10)
+        _write_binary_features(warm_bin, batch, seed=11)
+
+        trainer = Trainer(mcfg, tcfg)
+        train(warm_bin, valid_bin, os.path.join(tmp, "m0"), None, mcfg,
+              tcfg, is_binary=True, trainer=trainer)  # compile warm-up
+        t0 = time.perf_counter()
+        train(train_bin, valid_bin, os.path.join(tmp, "m1"), None, mcfg,
+              dataclasses.replace(tcfg, seed=1), is_binary=True,
+              trainer=trainer)
+        dt = time.perf_counter() - t0
+        return {"batch": batch, "steps": steps,
+                "ms_per_step_e2e": round(dt / steps * 1e3, 2),
+                "sites_per_s_e2e": round(batch * steps / dt),
+                "wall_s": round(dt, 2),
+                "note": "includes 1 validation sweep + state save"}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _write_feature_tsv(path: str, n_rows: int, seed: int = 5,
                        k: int = 17, s: int = 360) -> None:
     """Synthetic 12-column feature TSV (labels half 1 / half 0)."""
@@ -1021,6 +1087,9 @@ def main() -> int:
         cfg16, batch=train_batch, flops_per_site=train_flops)
     extras["train_bf16_tuned"] = measure_serial_train(
         cfg16, batch=train_batch_tuned, flops_per_site=train_flops)
+    # production train() driver at the same config: e2e ms/step should sit
+    # on the pure chained step above (prefetch + deferred metric drain)
+    extras["train_e2e"] = measure_train_e2e(batch=train_batch_tuned)
 
     # e2e on the SHIPPED default path (bfloat16, runtime/caller.py
     # DEFAULT_COMPUTE_DTYPE) — this is the headline (median of >=3 warm
