@@ -58,8 +58,8 @@ def test_bf16_zero_call_flips_full_size(rng):
     margin = np.abs(p132 - 0.5)
     clear = margin > max_dp
     assert int((pred32[clear] != pred16[clear]).sum()) == 0
-    # and the drift must stay far below the typical margin (median measured
-    # ~0.4 on this architecture; 0.02 is a 100x safety floor) so the
-    # at-risk fraction stays tiny — the >=50k-site on-hardware histogram
-    # lives in docs/PERF.md (scripts/check_tpu_parity.py)
-    assert float(np.median(margin)) > 0.02 > 10 * max_dp
+    # and the drift must stay an order of magnitude below the typical
+    # margin so the at-risk fraction stays tiny (random-init margins
+    # cluster ~4e-3; hardware 50k-site run: median 4.0e-3 vs max drift
+    # 8.7e-5 = 46x — histogram in docs/PERF.md, scripts/check_tpu_parity.py)
+    assert float(np.median(margin)) > 10 * max_dp
