@@ -550,6 +550,12 @@ class _NoopDeviceCaller:
     def __init__(self, batch_size: int = 4096):
         self.batch_size = batch_size
 
+    # NOTE: all deepsignal_tpu.runtime.caller access is lazy (inside
+    # methods).  A module-level (or class-body) import would make
+    # ``import bench`` pull in jax — and every forkserver WORKER re-imports
+    # __main__ (= this file under the driver), which turned ~20 ms worker
+    # starts into ~2 s and silently slowed every host-side bench row ~9x.
+
     def dispatch_feature_batch(self, fb):
         from deepsignal_tpu.runtime.caller import _pad
         n = len(fb)
@@ -566,11 +572,17 @@ class _NoopDeviceCaller:
             pending.append((i, j, (act, np.ones(bs, np.int64))))
         return fb, pending
 
-    from deepsignal_tpu.runtime.caller import ModCaller as _MC
-    _resolve = _MC._resolve
-    collect = _MC.collect
-    collect_block = _MC.collect_block
-    del _MC
+    def _resolve(self, handle):
+        from deepsignal_tpu.runtime.caller import ModCaller
+        return ModCaller._resolve(self, handle)
+
+    def collect(self, handle, is_dna: bool = True):
+        from deepsignal_tpu.runtime.caller import ModCaller
+        return ModCaller.collect(self, handle, is_dna=is_dna)
+
+    def collect_block(self, handle, is_dna: bool = True):
+        from deepsignal_tpu.runtime.caller import ModCaller
+        return ModCaller.collect_block(self, handle, is_dna=is_dna)
 
 
 def measure_e2e_host_ceiling(n_reads=None) -> dict:

@@ -82,7 +82,15 @@ def _worker_context():
             if foreign:
                 return mp.get_context("spawn")
             _forkserver_claimed = True
-    ctx.set_forkserver_preload(["deepsignal_tpu.featurize.extractor",
+    # "__main__" restores the stdlib default (set_forkserver_preload
+    # REPLACES it): without it every forked worker re-imports the driver
+    # script itself, so a driver with heavy module-level imports taxes
+    # EVERY worker start (measured: a __main__ that imports jax turned
+    # ~20 ms forks into ~2 s and run_extract 9x slower).  Pre-importing it
+    # once in the server (under the cleaned env, guarded run_name) makes
+    # worker starts immune to the driver's import weight.
+    ctx.set_forkserver_preload(["__main__",
+                                "deepsignal_tpu.featurize.extractor",
                                 "deepsignal_tpu.io.fast5",
                                 "deepsignal_tpu.io.feature_codec"])
     return ctx
