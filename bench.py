@@ -849,18 +849,21 @@ def _write_binary_features(path: str, n_rows: int, seed: int = 9,
     rec.tofile(path)
 
 
-def measure_train_e2e(batch=TRAIN_BATCH_TPU, steps=16) -> dict:
+def measure_train_e2e(batch=TRAIN_BATCH_TPU, steps_small=8,
+                      steps_large=40) -> dict:
     """PRODUCTION train() driver rate at the TPU-tuned bf16 config — the
     end-to-end counterpart of the serial-chained ``train_bf16_tuned`` row
-    (binary dataset -> background batch prefetch -> jitted step -> deferred
-    metric consumption -> epoch-final validation + state save).
+    (binary dataset -> prefetch thread gathers AND device-stages batches ->
+    jitted step -> deferred metric consumption).
 
-    Protocol: one warm-up epoch on a small file compiles the step, then the
-    timed epoch runs ``steps`` optimizer steps with the SAME Trainer; the
-    reported ms/step includes everything the driver does per step (gather
-    via prefetch, dispatch, metric drain) plus the amortized one
-    validation sweep + checkpoint of the epoch.  Target: ms/step_e2e ~=
-    the pure chained step (VERDICT r4 #5 done-criterion)."""
+    Protocol: one warm-up epoch compiles the step, then two timed epochs of
+    different lengths with the SAME Trainer; the per-step cost is the
+    SLOPE (wall_large - wall_small) / (steps_large - steps_small), which
+    cancels the per-epoch constants — the epoch-final validation sweep and
+    the full-train-state save, whose ~0.5 GB d2h fetch dominates a short
+    epoch on a slow link and has nothing to do with step rate.  The
+    intercept is reported as per_epoch_overhead_s.  Target: slope ms/step
+    ~= the pure chained step (VERDICT r4 #5 done-criterion)."""
     import dataclasses
 
     from deepsignal_tpu.core.config import ModelConfig, TrainConfig
@@ -868,7 +871,7 @@ def measure_train_e2e(batch=TRAIN_BATCH_TPU, steps=16) -> dict:
 
     tiny = os.environ.get("BENCH_TINY") == "1"
     if tiny:
-        batch, steps = 64, 2
+        batch, steps_small, steps_large = 64, 2, 4
     mcfg = ModelConfig(compute_dtype="bfloat16", matmul_precision="default",
                        **(dict(lstm_hidden=128, inception_times=2,
                                inception_blocks=(1, 1, 1)) if tiny else {}))
@@ -876,26 +879,39 @@ def measure_train_e2e(batch=TRAIN_BATCH_TPU, steps=16) -> dict:
                        display_step=10**9, seed=0)
     tmp = tempfile.mkdtemp(prefix="bench_traine2e_")
     try:
-        train_bin = os.path.join(tmp, "train.bin")
+        small_bin = os.path.join(tmp, "small.bin")
+        large_bin = os.path.join(tmp, "large.bin")
         valid_bin = os.path.join(tmp, "valid.bin")
         warm_bin = os.path.join(tmp, "warm.bin")
-        _write_binary_features(train_bin, batch * steps)
+        _write_binary_features(small_bin, batch * steps_small)
+        _write_binary_features(large_bin, batch * steps_large, seed=12)
         _write_binary_features(valid_bin, batch, seed=10)
         _write_binary_features(warm_bin, batch, seed=11)
 
         trainer = Trainer(mcfg, tcfg)
         train(warm_bin, valid_bin, os.path.join(tmp, "m0"), None, mcfg,
               tcfg, is_binary=True, trainer=trainer)  # compile warm-up
-        t0 = time.perf_counter()
-        train(train_bin, valid_bin, os.path.join(tmp, "m1"), None, mcfg,
-              dataclasses.replace(tcfg, seed=1), is_binary=True,
-              trainer=trainer)
-        dt = time.perf_counter() - t0
-        return {"batch": batch, "steps": steps,
-                "ms_per_step_e2e": round(dt / steps * 1e3, 2),
-                "sites_per_s_e2e": round(batch * steps / dt),
-                "wall_s": round(dt, 2),
-                "note": "includes 1 validation sweep + state save"}
+
+        def timed(path, seed):
+            t0 = time.perf_counter()
+            train(path, valid_bin, os.path.join(tmp, f"m{seed}"), None,
+                  mcfg, dataclasses.replace(tcfg, seed=seed),
+                  is_binary=True, trainer=trainer)
+            return time.perf_counter() - t0
+
+        wall_small = timed(small_bin, 1)
+        wall_large = timed(large_bin, 2)
+        dsteps = steps_large - steps_small
+        ms_step = (wall_large - wall_small) / dsteps * 1e3
+        overhead = wall_small - steps_small * ms_step / 1e3
+        return {"batch": batch,
+                "steps": [steps_small, steps_large],
+                "ms_per_step_e2e": round(ms_step, 2),
+                "sites_per_s_e2e": round(batch / max(ms_step, 1e-9) * 1e3),
+                "per_epoch_overhead_s": round(overhead, 2),
+                "wall_s": [round(wall_small, 2), round(wall_large, 2)],
+                "note": "slope over two epoch lengths; overhead = "
+                        "validation sweep + full-state save"}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -50,9 +50,12 @@ def train_1time(train_file: str, valid_file: str, valid_lidxs: list,
         accus = []
         iter_id = 0
         start = time.time()
-        for batch in prefetch_batches(
-                train_ds.batches(tcfg.batch_size, shuffle_rng=shuffle_rng)):
-            labels = np.asarray(batch["labels"])
+        for staged in prefetch_batches(
+                map(lambda b: (b["labels"], trainer.stage_batch(b)),
+                    train_ds.batches(tcfg.batch_size,
+                                     shuffle_rng=shuffle_rng))):
+            labels, batch = staged
+            labels = np.asarray(labels)
             loss, _counts, preds, valid = trainer.train_on_batch(batch, lr)
             iter_id += 1
             if iter_id % dcfg.step_interval == 0:
@@ -81,7 +84,8 @@ def train_1time(train_file: str, valid_file: str, valid_lidxs: list,
             cnt += 1
 
     pending = None
-    for batch in prefetch_batches(valid_ds.batches(dcfg.batch_size)):
+    for batch in prefetch_batches(
+            map(trainer.stage_batch, valid_ds.batches(dcfg.batch_size))):
         handle = trainer.eval_on_batch_async(batch)
         if pending is not None:
             consume(pending)

@@ -79,6 +79,13 @@ def metric_counts(preds, labels, valid_mask):
     ])
 
 
+class _StagedBatch(tuple):
+    """Marker for a batch already placed on device by ``stage_batch``."""
+
+    def __new__(cls, batch, mask, valid):
+        return super().__new__(cls, (batch, mask, valid))
+
+
 class Trainer:
     """Owns model variables, optimizer state and the jitted steps."""
 
@@ -98,6 +105,16 @@ class Trainer:
             learning_rate=train_cfg.learning_rate)
         self.opt_state = self.tx.init(self.params)
         self._step_counter = 0
+        # Compact wire format on the bfloat16 path (same contract as
+        # ModCaller): the model casts every float input to compute_dtype at
+        # entry (models/deepsignal.py:46-50), so shipping bf16 (RTNE host
+        # cast) is bit-identical to shipping f32 and casting on device —
+        # while halving the per-step h2d bytes (1716 -> 855 B/site), which
+        # binds exactly where the link is slow.  The f32 parity path ships
+        # f32 untouched.
+        self._wire_f = (np.dtype(jnp.bfloat16)
+                        if jnp.dtype(model_cfg.compute_dtype) == jnp.bfloat16
+                        else None)
 
         mcfg = model_cfg
         tcfg = train_cfg
@@ -107,6 +124,7 @@ class Trainer:
         def train_step(params, batch_stats, opt_state, batch, valid_mask,
                        dropout_rng, lr):
             opt_state.hyperparams["learning_rate"] = lr
+            batch = dict(batch, kmer=batch["kmer"].astype(jnp.int32))
 
             def loss_fn(p):
                 logits, new_vars = model.apply(
@@ -128,6 +146,7 @@ class Trainer:
             return params, new_bs, opt_state, loss, counts, preds
 
         def eval_step(params, batch_stats, batch, valid_mask):
+            batch = dict(batch, kmer=batch["kmer"].astype(jnp.int32))
             logits = model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 batch["kmer"], batch["means"], batch["stds"],
@@ -184,6 +203,31 @@ class Trainer:
 
     # -- step wrappers ------------------------------------------------------
 
+    def stage_batch(self, batch):
+        """Start the host->device transfer of a batch NOW; returns a staged
+        handle accepted by the *_on_batch methods.
+
+        Called from the prefetch thread (train/_validate/denoise wrap their
+        batch iterators in ``map(trainer.stage_batch, ...)`` before
+        ``prefetch_batches``), so the h2d transfer of batch i+1 overlaps
+        step i's compute instead of serializing with it at dispatch — the
+        exact double-buffering ModCaller does for inference
+        (runtime/caller.py:_run_fixed).  On a slow link this is the
+        difference between ms/step ~= pure step and ms/step = step + full
+        transfer latency (measured 3.6 s/step -> ~0.2 s through the bench
+        tunnel at batch 4096)."""
+        got = self._device_batch(dict(batch))
+        if self._multiproc:
+            return _StagedBatch(*got)  # put_batch already placed it
+        b, mask, valid = got
+        if self.mesh is None:
+            return _StagedBatch(jax.device_put(b), jax.device_put(mask),
+                                valid)
+        data = batch_sharding(self.mesh)
+        return _StagedBatch(
+            jax.device_put(b, {k: data for k in b}),
+            jax.device_put(mask, data), valid)
+
     def _device_batch(self, batch):
         """Global host batch -> jit-ready (batch, mask, valid).
 
@@ -201,6 +245,16 @@ class Trainer:
         n = batch["labels"].shape[0]
         mask = np.zeros(n, dtype=np.float32)
         mask[:valid] = 1.0
+        if self._wire_f is not None:
+            wf = self._wire_f
+            batch = dict(
+                kmer=np.ascontiguousarray(batch["kmer"], dtype=np.int8),
+                means=np.ascontiguousarray(batch["means"], dtype=wf),
+                stds=np.ascontiguousarray(batch["stds"], dtype=wf),
+                sanums=np.ascontiguousarray(
+                    np.clip(batch["sanums"], 0, 65535), dtype=np.uint16),
+                signals=np.ascontiguousarray(batch["signals"], dtype=wf),
+                labels=batch["labels"])
         if not self._multiproc:
             return batch, mask, valid
         nproc = jax.process_count()
@@ -231,7 +285,10 @@ class Trainer:
         per step costs a full link round trip on top of the step itself
         (measured 430 vs 124 ms/step through the bench tunnel); deferring
         the fetch by one step hides it behind compute."""
-        batch, mask, valid = self._device_batch(dict(batch))
+        if isinstance(batch, _StagedBatch):
+            batch, mask, valid = batch
+        else:
+            batch, mask, valid = self._device_batch(dict(batch))
         self.rng, drop = jax.random.split(self.rng)
         (self.params, self.batch_stats, self.opt_state, loss, counts,
          preds) = self._train_step(self.params, self.batch_stats,
@@ -260,7 +317,10 @@ class Trainer:
     def eval_on_batch_async(self, batch):
         """Dispatch one eval step with async host copies (see
         ``train_on_batch_async``); resolve with ``resolve_eval``."""
-        batch, mask, valid = self._device_batch(dict(batch))
+        if isinstance(batch, _StagedBatch):
+            batch, mask, valid = batch
+        else:
+            batch, mask, valid = self._device_batch(dict(batch))
         loss, counts, preds, probs1 = self._eval_step(
             self.params, self.batch_stats, batch, mask)
         for out in (loss, counts, preds, probs1):
@@ -441,10 +501,13 @@ def train(train_file: str, valid_file: str, model_dir: str,
                 tr_loss, tr_acc, tr_rec, tr_prec = [], [], [], []
                 start = time.time()
 
-        # one-batch-ahead background gather: the memmap index + pack work
-        # overlaps the dispatched step instead of serializing with it
+        # one-batch-ahead background gather + device staging: the memmap
+        # index + pack work AND the h2d transfer overlap the dispatched
+        # step instead of serializing with it
         for batch in prefetch_batches(
-                train_ds.batches(tcfg.batch_size, shuffle_rng=shuffle_rng)):
+                map(trainer.stage_batch,
+                    train_ds.batches(tcfg.batch_size,
+                                     shuffle_rng=shuffle_rng))):
             handle = trainer.train_on_batch_async(batch, lr)
             iter_id += 1
             if pending is not None:
@@ -508,7 +571,8 @@ def _validate(trainer: Trainer, valid_ds, tcfg: TrainConfig,
         precs.append(prec)
 
     pending = None  # metric fetch rides behind the next batch's compute
-    for batch in prefetch_batches(valid_ds.batches(tcfg.batch_size)):
+    for batch in prefetch_batches(
+            map(trainer.stage_batch, valid_ds.batches(tcfg.batch_size))):
         handle = trainer.eval_on_batch_async(batch)
         if pending is not None:
             consume(pending)

@@ -194,3 +194,43 @@ def test_prefetch_batches_order_and_exceptions():
     except RuntimeError as e:
         assert "producer failed" in str(e)
     assert got == [1, 2]
+
+
+def test_bf16_train_wire_packing_is_exact(rng):
+    """The bf16 train wire format (int8 kmer, bf16 floats, u16 sanums) must
+    be numerically IDENTICAL to shipping f32 and casting on device: the
+    model casts every float input to compute_dtype at entry, so the host
+    RTNE cast commutes with the device one."""
+    import dataclasses
+
+    from deepsignal_tpu.core.config import ModelConfig, TrainConfig
+    from deepsignal_tpu.train.trainer import Trainer
+
+    mcfg = ModelConfig(lstm_hidden=16, lstm_layers=1, inception_times=1,
+                       inception_blocks=(1, 0, 0), cent_signals_len=24,
+                       kmer_len=5, compute_dtype="bfloat16",
+                       matmul_precision="default")
+    tcfg = TrainConfig(batch_size=16, seed=3)
+    b = dict(kmer=rng.integers(0, 4, (16, 5)).astype(np.int32),
+             means=rng.normal(0, 1, (16, 5)).astype(np.float32),
+             stds=np.abs(rng.normal(0, 1, (16, 5))).astype(np.float32),
+             sanums=rng.integers(1, 40, (16, 5)).astype(np.float32),
+             signals=rng.normal(0, 1, (16, 24)).astype(np.float32),
+             labels=rng.integers(0, 2, 16).astype(np.int32))
+
+    t_packed = Trainer(mcfg, tcfg)
+    assert t_packed._wire_f is not None
+    t_raw = Trainer(mcfg, tcfg)
+    t_raw._wire_f = None  # force the unpacked f32 wire
+
+    for step in range(2):
+        lp, cp, pp, _ = t_packed.train_on_batch(dict(b), 1e-3)
+        lr_, cr, pr, _ = t_raw.train_on_batch(dict(b), 1e-3)
+        assert lp == lr_, (step, lp, lr_)
+        np.testing.assert_array_equal(cp, cr)
+        np.testing.assert_array_equal(pp, pr)
+
+    # the f32 parity config must not pack
+    f32 = Trainer(dataclasses.replace(mcfg, compute_dtype="float32",
+                                      matmul_precision="highest"), tcfg)
+    assert f32._wire_f is None
