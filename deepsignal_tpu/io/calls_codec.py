@@ -94,6 +94,29 @@ if _native is not None:
         _native = None
 
 
+def count_read_runs(sampleinfo: list):
+    """(n_runs, first_read, last_read) over the contiguous same-read runs
+    of a batch's sampleinfo (read name = 5th tab field).  Under the
+    read-grouping contract a read's rows are contiguous, so the number of
+    NEW reads in a batch is ``n_runs`` minus one when the first run
+    continues the previous batch's last read — O(1) cross-batch state
+    instead of per-batch read sets."""
+    if _native is not None and hasattr(_native, "count_read_runs"):
+        return _native.count_read_runs(list(sampleinfo))
+    runs = 0
+    prev = None
+    first = last = ""
+    for s in sampleinfo:
+        name = s.split("\t", 5)[4]
+        if name != prev:
+            runs += 1
+            if runs == 1:
+                first = name
+        prev = name
+    last = prev if prev is not None else ""
+    return runs, first, last
+
+
 def format_call_block(sampleinfo: list, p0: np.ndarray, p1: np.ndarray,
                       pred: np.ndarray, kmers: np.ndarray,
                       is_dna: bool = True) -> bytes:

@@ -408,6 +408,49 @@ static PyObject* format_call_block(PyObject*, PyObject* args) {
                                    static_cast<Py_ssize_t>(buf.size()));
 }
 
+static PyObject* count_read_runs(PyObject*, PyObject* args) {
+  // (sampleinfo: list[str]) -> (n_runs, first_read, last_read)
+  // Read name = 5th tab-separated field of each info string; counts the
+  // contiguous same-read runs in one C pass (the drain meter's read
+  // accounting, ~20 ns/site vs ~1 us/site for per-row Python splits).
+  PyObject* info_list;
+  if (!PyArg_ParseTuple(args, "O!", &PyList_Type, &info_list)) return nullptr;
+  Py_ssize_t n = PyList_GET_SIZE(info_list);
+  if (n == 0) {
+    return Py_BuildValue("nss", static_cast<Py_ssize_t>(0), "", "");
+  }
+  const char* prev = nullptr;
+  Py_ssize_t prev_len = 0;
+  const char* first = nullptr;
+  Py_ssize_t first_len = 0;
+  Py_ssize_t runs = 0;
+  for (Py_ssize_t i = 0; i < n; i++) {
+    Py_ssize_t ulen;
+    const char* u = PyUnicode_AsUTF8AndSize(PyList_GET_ITEM(info_list, i),
+                                            &ulen);
+    if (!u) return nullptr;
+    // locate field 4 (0-based): between the 4th and 5th tab (or end)
+    const char* p = u;
+    const char* end = u + ulen;
+    int tabs = 0;
+    while (p < end && tabs < 4) {
+      if (*p == '\t') tabs++;
+      p++;
+    }
+    const char* q = p;
+    while (q < end && *q != '\t') q++;
+    Py_ssize_t len = q - p;
+    if (prev == nullptr || len != prev_len ||
+        memcmp(p, prev, static_cast<size_t>(len)) != 0) {
+      runs++;
+      if (first == nullptr) { first = p; first_len = len; }
+    }
+    prev = p;
+    prev_len = len;
+  }
+  return Py_BuildValue("ns#s#", runs, first, first_len, prev, prev_len);
+}
+
 static PyObject* repr_f32(PyObject*, PyObject* args) {
   // float32[N] -> list[str] of str(np.float32) reprs; exists so the
   // formatter's core can be self-checked/stress-tested independently of
@@ -449,6 +492,9 @@ static PyMethodDef kMethods[] = {
     {"repr_f32", repr_f32, METH_VARARGS,
      "str(np.float32) repr of each element of a float32 array "
      "(byte-identical to numpy scalar str)."},
+    {"count_read_runs", count_read_runs, METH_VARARGS,
+     "Count contiguous same-read runs over sampleinfo strings; returns "
+     "(n_runs, first_read, last_read)."},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef kModule = {

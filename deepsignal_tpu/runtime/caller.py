@@ -18,8 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import ModelConfig
-from ..io.calls_codec import (decode_kmer_strings, format_call_block,
-                              format_call_row)
+from ..io.calls_codec import (count_read_runs, decode_kmer_strings,
+                              format_call_block, format_call_row)
 from ..io.feature_codec import FeatureBatch
 from ..models.deepsignal import DeepSignalNet, predictions
 from ..parallel.mesh import batch_sharding, replicated
@@ -350,19 +350,19 @@ def call_mods_on_batches(caller: ModCaller,
 
     count = 0
     in_flight: deque = deque()
-    # Exact read accounting with O(batch) memory: a read's rows are
+    # Exact read accounting with O(1) cross-batch state: a read's rows are
     # contiguous in the stream (the v0.1.10 read-grouping contract holds
-    # through coalesce_feature_batches), so a read id can only recur in the
-    # IMMEDIATELY previous drained batch — deduping against that small set
-    # gives the same exact count as an unbounded all-run set would.  On a
-    # user-supplied TSV that VIOLATES the grouping contract (a read's rows
-    # scattered non-contiguously), each contiguous run counts as one read
+    # through coalesce_feature_batches), so new reads in a batch = its
+    # contiguous-run count, minus one when the first run continues the
+    # previous batch's last read (one native pass per batch,
+    # calls_codec.count_read_runs).  On a user-supplied TSV that VIOLATES
+    # the grouping contract, each contiguous run counts as one read
     # appearance — the meter is a throughput diagnostic, and the scored
     # output itself is unaffected either way.
-    prev_reads: set = set()
+    prev_last_read = None
     with open(out_path, "wb") as wf:
         def drain_one():
-            nonlocal count, prev_reads
+            nonlocal count, prev_last_read
             handle = in_flight.popleft()
             fb = handle[0]
             # one native formatter call per batch (byte-identical to the
@@ -371,10 +371,11 @@ def call_mods_on_batches(caller: ModCaller,
             wf.write(block)
             count += len(fb)
             if meter is not None and fb.sampleinfo:
-                cur = {s.split("\t", 5)[4] for s in fb.sampleinfo}
+                runs, first, last = count_read_runs(fb.sampleinfo)
                 meter.update(sites=len(fb),
-                             reads=len(cur - prev_reads))
-                prev_reads = cur
+                             reads=runs - (1 if first == prev_last_read
+                                           else 0))
+                prev_last_read = last
             wf.flush()
 
         for fb in coalesce_feature_batches(batches, caller.batch_size):

@@ -225,3 +225,22 @@ def test_collect_block_equals_collect_rows(rng):
     assert block == "".join(r + "\n" for r in rows).encode()
     np.testing.assert_array_equal(pred_r, pred_b)
     np.testing.assert_array_equal(p0_r, p0_b)
+
+
+def test_count_read_runs_native_matches_python(rng):
+    from deepsignal_tpu.io import calls_codec
+    reads = [f"read{i}" for i in rng.integers(0, 12, 300)]
+    info = [f"chr1\t{i}\t+\t{i}\t{r}\tt" for i, r in enumerate(reads)]
+    native = calls_codec.count_read_runs(info)
+    saved = calls_codec._native
+    calls_codec._native = None
+    try:
+        python = calls_codec.count_read_runs(info)
+    finally:
+        calls_codec._native = saved
+    assert native == python
+    # structural check: runs == number of adjacent-name changes + 1
+    expect = 1 + sum(1 for a, b in zip(reads, reads[1:]) if a != b)
+    assert native[0] == expect
+    assert native[1] == reads[0] and native[2] == reads[-1]
+    assert calls_codec.count_read_runs([]) == (0, "", "")
