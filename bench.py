@@ -859,11 +859,13 @@ def measure_train_e2e(batch=TRAIN_BATCH_TPU, steps_small=8,
     Protocol: one warm-up epoch compiles the step, then two timed epochs of
     different lengths with the SAME Trainer; the per-step cost is the
     SLOPE (wall_large - wall_small) / (steps_large - steps_small), which
-    cancels the per-epoch constants — the epoch-final validation sweep and
-    the full-train-state save, whose ~0.5 GB d2h fetch dominates a short
-    epoch on a slow link and has nothing to do with step rate.  The
-    intercept is reported as per_epoch_overhead_s.  Target: slope ms/step
-    ~= the pure chained step (VERDICT r4 #5 done-criterion)."""
+    cancels the per-epoch constant (the epoch-final validation sweep),
+    reported as per_epoch_overhead_s.  The rolling full-train-state save
+    is disabled for the timed epochs (save_state=False): its ~0.5 GB d2h
+    fetch is a per-epoch constant with +-20 s variance on a slow link,
+    which would swamp the 32-step signal the slope measures (a negative
+    slope was observed with it on).  Target: slope ms/step ~= the pure
+    chained step (VERDICT r4 #5 done-criterion)."""
     import dataclasses
 
     from deepsignal_tpu.core.config import ModelConfig, TrainConfig
@@ -876,7 +878,7 @@ def measure_train_e2e(batch=TRAIN_BATCH_TPU, steps_small=8,
                        **(dict(lstm_hidden=128, inception_times=2,
                                inception_blocks=(1, 1, 1)) if tiny else {}))
     tcfg = TrainConfig(batch_size=batch, max_epoch_num=1, min_epoch_num=1,
-                       display_step=10**9, seed=0)
+                       display_step=10**9, seed=0, save_state=False)
     tmp = tempfile.mkdtemp(prefix="bench_traine2e_")
     try:
         small_bin = os.path.join(tmp, "small.bin")
@@ -910,8 +912,9 @@ def measure_train_e2e(batch=TRAIN_BATCH_TPU, steps_small=8,
                 "sites_per_s_e2e": round(batch / max(ms_step, 1e-9) * 1e3),
                 "per_epoch_overhead_s": round(overhead, 2),
                 "wall_s": [round(wall_small, 2), round(wall_large, 2)],
-                "note": "slope over two epoch lengths; overhead = "
-                        "validation sweep + full-state save"}
+                "valid": bool(ms_step > 0),
+                "note": "slope over two epoch lengths (state save off); "
+                        "overhead = validation sweep"}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

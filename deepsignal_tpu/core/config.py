@@ -94,6 +94,12 @@ class TrainConfig:
     display_step: int = 100
     pos_weight: float = 1.0
     seed: int = 42
+    # rolling full-train-state checkpoint at each epoch end (params +
+    # optimizer + RNG + shuffle stream; enables exact resume).  The state
+    # fetch+serialize is ~0.5 GB for the full model — turn off for
+    # throwaway trainings (the best-model checkpointing at display-step
+    # boundaries is unaffected).
+    save_state: bool = True
 
 
 @dataclasses.dataclass

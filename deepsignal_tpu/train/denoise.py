@@ -50,23 +50,38 @@ def train_1time(train_file: str, valid_file: str, valid_lidxs: list,
         accus = []
         iter_id = 0
         start = time.time()
+        # metric consumption rides ONE step behind the dispatch (same
+        # pattern as trainer.train(): the d2h fetch of step i's loss/preds
+        # overlaps step i+1's compute instead of costing a link round trip
+        # per step); values and their step attribution are unchanged
+        pending = None  # (iter_id, labels, handle)
+
+        def consume(iid, labels, handle):
+            nonlocal start
+            loss, _counts, preds, valid = trainer.resolve_metrics(handle)
+            if iid % dcfg.step_interval == 0:
+                labels = np.asarray(labels)
+                accu = float(np.mean(labels[:valid] == preds))
+                accus.append(accu)
+                print("Epoch [{}/{}], Step {}, Loss: {:.4f}, Accuracy: "
+                      "{:.4f}, Time: {:.2f}s".format(
+                          epoch_id + 1, dcfg.epoch_num, iid, loss, accu,
+                          time.time() - start))
+                sys.stdout.flush()
+                start = time.time()
+
         for staged in prefetch_batches(
                 map(lambda b: (b["labels"], trainer.stage_batch(b)),
                     train_ds.batches(tcfg.batch_size,
                                      shuffle_rng=shuffle_rng))):
             labels, batch = staged
-            labels = np.asarray(labels)
-            loss, _counts, preds, valid = trainer.train_on_batch(batch, lr)
+            handle = trainer.train_on_batch_async(batch, lr)
             iter_id += 1
-            if iter_id % dcfg.step_interval == 0:
-                accu = float(np.mean(labels[:valid] == preds))
-                accus.append(accu)
-                print("Epoch [{}/{}], Step {}, Loss: {:.4f}, Accuracy: "
-                      "{:.4f}, Time: {:.2f}s".format(
-                          epoch_id + 1, dcfg.epoch_num, iter_id, loss, accu,
-                          time.time() - start))
-                sys.stdout.flush()
-                start = time.time()
+            if pending is not None:
+                consume(*pending)
+            pending = (iter_id, labels, handle)
+        if pending is not None:
+            consume(*pending)
         if accus and np.mean(accus) >= 0.95:
             break
 

@@ -541,7 +541,7 @@ def train(train_file: str, valid_file: str, model_dir: str,
                          "best accuracy: %.3f\n"
                          % (epoch_id, test_accu_best_ep, test_accu_best))
         sys.stdout.flush()
-        if is_lead:
+        if is_lead and tcfg.save_state:
             save_train_state(
                 model_dir, mcfg, trainer.variables, trainer.opt_state,
                 trainer.rng,
