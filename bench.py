@@ -909,7 +909,8 @@ def measure_train_e2e(batch=TRAIN_BATCH_TPU, steps_small=8,
         return {"batch": batch,
                 "steps": [steps_small, steps_large],
                 "ms_per_step_e2e": round(ms_step, 2),
-                "sites_per_s_e2e": round(batch / max(ms_step, 1e-9) * 1e3),
+                "sites_per_s_e2e": (round(batch / ms_step * 1e3)
+                                    if ms_step > 0 else None),
                 "per_epoch_overhead_s": round(overhead, 2),
                 "wall_s": [round(wall_small, 2), round(wall_large, 2)],
                 "valid": bool(ms_step > 0),
