@@ -512,30 +512,28 @@ def measure_e2e(compute_dtype=None, n_reads=None) -> dict:
         # >=3 warm repeats on distinct fixed corpora: the 2-core bench host
         # shows ~1.5x run-to-run spread (featurize workers, main process and
         # the tunnel all contend), so min/median/max go in the artifact
-        warm_rates, warm_walls, steadies = [], [], []
-        n_calls_w = 0
+        repeats = []  # (rate, wall, calls, steady) per warm run
         for rep in range(1 if tiny else WARM_REPEATS):
             tag = "warm" if rep == 0 else f"warm{rep + 1}"
             _, n_calls_w, dt_warm, steady = one_run(tag, caller)
-            warm_rates.append(n_reads / dt_warm)
-            warm_walls.append(dt_warm)
-            steadies.append(steady)
-        med = sorted(warm_rates)[len(warm_rates) // 2]
+            repeats.append((n_reads / dt_warm, dt_warm, n_calls_w, steady))
+        # ALL reported warm numbers come from the single median-rate run,
+        # so every field describes one actual run (rate/wall/sites/steady
+        # stay consistent); the spread is in warm_repeats
+        repeats.sort(key=lambda r: r[0])
+        rate, wall, calls, steady = repeats[len(repeats) // 2]
         return {"reads_per_s_cold": round(n_reads / dt_cold, 2),
-                "reads_per_s_warm": round(med, 2),  # median of repeats
+                "reads_per_s_warm": round(rate, 2),  # median of repeats
                 "warm_repeats": {
-                    "n": len(warm_rates),
-                    "min": round(min(warm_rates), 2),
-                    "median": round(med, 2),
-                    "max": round(max(warm_rates), 2)},
-                "sites_per_s_warm": round(
-                    n_calls_w / sorted(warm_walls)[len(warm_walls) // 2]),
-                "steady_state_sites_per_s": round(
-                    sorted(steadies)[len(steadies) // 2]),
+                    "n": len(repeats),
+                    "min": round(repeats[0][0], 2),
+                    "median": round(rate, 2),
+                    "max": round(repeats[-1][0], 2)},
+                "sites_per_s_warm": round(calls / wall),
+                "steady_state_sites_per_s": round(steady),
                 "wall_s_cold": round(dt_cold, 2),
-                "wall_s_warm": round(sorted(warm_walls)[len(warm_walls)
-                                                        // 2], 2),
-                "reads": n_reads, "sites": n_calls_w}
+                "wall_s_warm": round(wall, 2),
+                "reads": n_reads, "sites": calls}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -81,19 +81,6 @@ def _format_call_block_py(sampleinfo, p0, p1, pred, kmers,
     return "".join(r + "\n" for r in rows).encode("utf-8")
 
 
-if _native is not None and not hasattr(_native, "format_call_block"):
-    _native = None  # stale build without the formatter
-if _native is not None:
-    try:
-        if not _native_selfcheck():  # pragma: no cover - host-dependent
-            import sys as _sys
-            print("warning: native call-row formatter disagrees with the "
-                  "Python path on this host; falling back", file=_sys.stderr)
-            _native = None
-    except Exception:  # pragma: no cover - defensive
-        _native = None
-
-
 def count_read_runs(sampleinfo: list):
     """(n_runs, first_read, last_read) over the contiguous same-read runs
     of a batch's sampleinfo (read name = 5th tab field).  Under the
@@ -221,3 +208,23 @@ def format_frequency_row(chrom: str, pos: int, stats: SiteStats,
     return "%s\t%d\t%s\t%d\t%.3f\t%.3f\t%d\t%d\t%d\t%.4f\t%s" % (
         chrom, pos, stats.strand, stats.pos_in_strand, stats.prob_0,
         stats.prob_1, stats.met, stats.unmet, stats.coverage, rmet, stats.kmer)
+
+
+# The native gate runs at the END of the module: the selfcheck exercises
+# the full Python fallback chain (format_call_row above), so every name it
+# touches must already be defined — running it earlier silently disabled
+# the native path via a swallowed NameError (caught by review, round 5).
+if _native is not None and not hasattr(_native, "format_call_block"):
+    _native = None  # stale build without the formatter
+if _native is not None:
+    try:
+        if not _native_selfcheck():  # pragma: no cover - host-dependent
+            import sys as _sys
+            print("warning: native call-row formatter disagrees with the "
+                  "Python path on this host; falling back", file=_sys.stderr)
+            _native = None
+    except Exception as _e:  # pragma: no cover - defensive
+        import sys as _sys
+        print("warning: native call-row formatter selfcheck raised "
+              f"{type(_e).__name__}: {_e}; falling back", file=_sys.stderr)
+        _native = None

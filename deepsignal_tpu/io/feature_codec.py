@@ -29,7 +29,7 @@ except ImportError:  # pragma: no cover - build-dependent
 # kmer-column encode LUT for TSV parsing.  Matches the native parser's
 # base_code(): A/C/G/T as the DNA codes, U as 3 (RNA kmers in feature files
 # written by RNA-mode extract), anything else N=4.  The alphabet is decided
-# at decode time (runtime.caller.decode_kmer_strings), so one combined
+# at decode time (io.calls_codec.decode_kmer_strings), so one combined
 # encode table serves both.
 _PARSE_CODE_LUT = np.full(256, BASE2CODE_DNA["N"], dtype=np.int32)
 for _b, _c in BASE2CODE_DNA.items():

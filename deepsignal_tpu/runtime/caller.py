@@ -25,6 +25,34 @@ from ..models.deepsignal import DeepSignalNet, predictions
 from ..parallel.mesh import batch_sharding, replicated
 
 
+_warned_sanums = False
+
+
+def compact_wire_arrays(kmer, means, stds, sanums, signals, wire_f):
+    """The compact h2d wire format shared by inference (ModCaller) and
+    training (Trainer._device_batch): int8 kmer codes, ``wire_f`` floats
+    (bfloat16 on the fast path — identical to the on-device f32->bf16 cast,
+    RTNE; float32 on the parity path — lossless), uint16 per-base signal
+    counts.
+
+    sanums ride as uint16 — the same range as the reference's ``<u2``
+    binary feature record (SURVEY.md §2.5), so overflow is pathological
+    input; it is clipped to keep the batch scoring but surfaced once per
+    process."""
+    global _warned_sanums
+    if np.max(sanums, initial=0) > 65535 and not _warned_sanums:
+        _warned_sanums = True
+        print("warning: per-base signal count > 65535 clipped to the "
+              "uint16 wire range (matches the reference's <u2 binary "
+              "record limit)")
+    return (np.ascontiguousarray(kmer, dtype=np.int8),
+            np.ascontiguousarray(means, dtype=wire_f),
+            np.ascontiguousarray(stds, dtype=wire_f),
+            np.ascontiguousarray(np.clip(sanums, 0, 65535),
+                                 dtype=np.uint16),
+            np.ascontiguousarray(signals, dtype=wire_f))
+
+
 class ModCaller:
     """Owns the jitted inference step + fixed-shape batching.
 
@@ -44,7 +72,6 @@ class ModCaller:
         self.batch_size = batch_size
         self.mesh = mesh
         self.model = DeepSignalNet(cfg)
-        self._warned_sanums = False
         self._wire_f = (np.dtype(jnp.bfloat16)
                         if jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
                         else np.dtype(np.float32))
@@ -79,23 +106,10 @@ class ModCaller:
             self._data = None
 
     def _pack(self, kmer, means, stds, sanums, signals):
-        """Pack a padded fixed-shape batch into the compact wire format.
-
-        sanums ride as uint16 — the same range as the reference's ``<u2``
-        binary feature record (SURVEY.md §2.5), so overflow is pathological
-        input; it is clipped to keep the batch scoring but surfaced once."""
-        if np.max(sanums, initial=0) > 65535 and not self._warned_sanums:
-            self._warned_sanums = True
-            print("warning: per-base signal count > 65535 clipped to the "
-                  "uint16 wire range (matches the reference's <u2 binary "
-                  "record limit)")
-        wf = self._wire_f
-        return (np.ascontiguousarray(kmer, dtype=np.int8),
-                np.ascontiguousarray(means, dtype=wf),
-                np.ascontiguousarray(stds, dtype=wf),
-                np.ascontiguousarray(np.clip(sanums, 0, 65535),
-                                     dtype=np.uint16),
-                np.ascontiguousarray(signals, dtype=wf))
+        """Pack a padded fixed-shape batch into the compact wire format
+        (shared with the trainer: ``compact_wire_arrays``)."""
+        return compact_wire_arrays(kmer, means, stds, sanums, signals,
+                                   self._wire_f)
 
     def _run_fixed(self, kmer, means, stds, sanums, signals):
         kmer, means, stds, sanums, signals = self._pack(

@@ -35,6 +35,7 @@ from ..models.deepsignal import (DeepSignalNet, init_model, predictions,
 from ..parallel.mesh import (batch_sharding, mesh_is_multiprocess,
                              param_shardings, put_batch, put_replicated,
                              replicated)
+from ..runtime.caller import compact_wire_arrays
 from .checkpoints import (ckpt_name, clean_model_dir, clear_train_state,
                           load_train_state, save_checkpoint, save_train_state)
 from .data import open_dataset, prefetch_batches
@@ -246,15 +247,11 @@ class Trainer:
         mask = np.zeros(n, dtype=np.float32)
         mask[:valid] = 1.0
         if self._wire_f is not None:
-            wf = self._wire_f
-            batch = dict(
-                kmer=np.ascontiguousarray(batch["kmer"], dtype=np.int8),
-                means=np.ascontiguousarray(batch["means"], dtype=wf),
-                stds=np.ascontiguousarray(batch["stds"], dtype=wf),
-                sanums=np.ascontiguousarray(
-                    np.clip(batch["sanums"], 0, 65535), dtype=np.uint16),
-                signals=np.ascontiguousarray(batch["signals"], dtype=wf),
-                labels=batch["labels"])
+            kmer, means, stds, sanums, signals = compact_wire_arrays(
+                batch["kmer"], batch["means"], batch["stds"],
+                batch["sanums"], batch["signals"], self._wire_f)
+            batch = dict(kmer=kmer, means=means, stds=stds, sanums=sanums,
+                         signals=signals, labels=batch["labels"])
         if not self._multiproc:
             return batch, mask, valid
         nproc = jax.process_count()

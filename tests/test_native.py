@@ -244,3 +244,14 @@ def test_count_read_runs_native_matches_python(rng):
     assert native[0] == expect
     assert native[1] == reads[0] and native[2] == reads[-1]
     assert calls_codec.count_read_runs([]) == (0, "", "")
+
+
+def test_native_call_formatter_actually_engaged():
+    """Guard against silent self-check failure: with a functional extension
+    present, calls_codec must be USING it (a swallowed import-time
+    exception once disabled the native path while every native-vs-python
+    test passed vacuously, both sides running Python)."""
+    from deepsignal_tpu.io import calls_codec
+    assert hasattr(featkernel, "format_call_block")
+    assert calls_codec._native is not None, (
+        "native call-row formatter silently disabled at import")
